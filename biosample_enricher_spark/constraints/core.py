@@ -1,0 +1,240 @@
+"""Constraint-suite orchestration.
+
+Compiles the declarative suite into one DataFrame pipeline:
+
+    scan documents
+      → stable partition_id (content-addressed bucket)
+      → row-scope violations  (Column-expr fold OR Arrow UDF, §exprs/§udf)
+      → uniqueness violations (salted two-stage aggregation)
+      → referential violations (broadcast left-anti join vs asset catalog)
+      → union → violations(partition_id, doc_id, constraint_id, field, message)
+      → per-(constraint, partition) summary with pass/fail counts
+
+Shapes follow FIXTURES.md §A4, which mirrors the reference's
+pass/fail partition + error rows + summary rates
+(``/root/reference/biosample_enricher/synthetic_validation_demo.py:
+69-113``).
+
+Scale posture:
+- partition_id is ``pmod(xxhash64(doc_id), n_buckets)`` — deterministic
+  across parallelism levels (local[8] == local[32] == a 1000-executor
+  cluster), unlike ``spark_partition_id()`` which AQE re-plans freely.
+- the uniqueness check pre-aggregates per (physical-partition salt,
+  doc_id) before the global re-aggregation, bounding any reducer's
+  input for hot keys (explicit salted two-stage, north_rule).
+- the asset catalog is broadcast; the probe side only carries
+  ``(partition_id, doc_id, pos, media_ref)`` after nested-field pruning.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..spec import (
+    C_DOC_ID_UNIQUE,
+    C_MEDIA_REF_REFERENTIAL,
+    MEDIA_KINDS,
+    N_BUCKETS_DEFAULT,
+    ROW_CONSTRAINTS,
+)
+from . import exprs
+from . import udf as arrow_udf
+
+UNIQUENESS_SALT_BUCKETS = 64
+
+
+def stable_partition_id(doc_id: Column, n_buckets: int = N_BUCKETS_DEFAULT) -> Column:
+    """Content-addressed partition id: deterministic under any physical
+    partitioning / AQE re-plan / executor count."""
+    return F.pmod(F.xxhash64(doc_id), F.lit(n_buckets)).cast("int")
+
+
+@dataclass
+class SuiteResult:
+    violations: DataFrame  # partition_id, doc_id, constraint_id, field, message
+    summary: DataFrame     # constraint_id, partition_id, total, passed, failed, pass_rate
+
+
+class ConstraintSuite:
+    """The engine's built-in suite over the interleaved-documents table."""
+
+    def __init__(
+        self,
+        n_buckets: int = N_BUCKETS_DEFAULT,
+        use_arrow_udf: bool = False,
+        check_uniqueness: bool = True,
+    ) -> None:
+        self.n_buckets = n_buckets
+        self.use_arrow_udf = use_arrow_udf
+        self.check_uniqueness = check_uniqueness
+
+    # --- pieces -------------------------------------------------------------
+
+    def with_partition_id(self, docs: DataFrame) -> DataFrame:
+        return docs.withColumn(
+            "partition_id", stable_partition_id(F.col("doc_id"), self.n_buckets)
+        )
+
+    def row_violations(self, docs_p: DataFrame) -> DataFrame:
+        """Per-row span-sequence violations, exploded to violation rows."""
+        fn = arrow_udf.span_violations if self.use_arrow_udf else exprs.span_violations
+        items = docs_p.select(
+            "partition_id",
+            "doc_id",
+            F.explode(fn(F.col("spans"))).alias("v"),
+        )
+        return items.select(
+            "partition_id",
+            "doc_id",
+            F.col("v.constraint_id").alias("constraint_id"),
+            F.col("v.field").alias("field"),
+            F.col("v.message").alias("message"),
+        )
+
+    def uniqueness_violations(self, docs_p: DataFrame) -> DataFrame:
+        """Salted two-stage duplicate detection on ``doc_id``.
+
+        Stage 1 groups by (salt, doc_id) where the salt is derived from
+        the physical input partition — an explicit map-side pre-count, so
+        a pathologically hot doc_id contributes at most
+        ``UNIQUENESS_SALT_BUCKETS`` rows to the stage-2 shuffle instead
+        of its full occurrence count. Stage 2 re-aggregates by doc_id;
+        the result is independent of the salt values.
+        Reference analog: ID dedup semantics
+        (``/root/reference/biosample_enricher/adapters.py:327-338``).
+        """
+        salt = F.pmod(F.spark_partition_id(), F.lit(UNIQUENESS_SALT_BUCKETS))
+        stage1 = (
+            docs_p.select("doc_id", salt.alias("_salt"))
+            .groupBy("_salt", "doc_id")
+            .agg(F.count(F.lit(1)).alias("_partial"))
+        )
+        dups = (
+            stage1.groupBy("doc_id")
+            .agg(F.sum("_partial").alias("n"))
+            .where(F.col("n") > 1)
+        )
+        return dups.select(
+            stable_partition_id(F.col("doc_id"), self.n_buckets).alias("partition_id"),
+            "doc_id",
+            F.lit(C_DOC_ID_UNIQUE).alias("constraint_id"),
+            F.lit("doc_id").alias("field"),
+            F.format_string("duplicate doc_id: %d occurrences", F.col("n")).alias(
+                "message"
+            ),
+        )
+
+    def referential_violations(
+        self, docs_p: DataFrame, asset_catalog: DataFrame
+    ) -> DataFrame:
+        """Media refs with no catalog entry: broadcast left-anti join.
+
+        Probe side is pruned to ``(partition_id, doc_id, pos,
+        media_ref)`` before the join; the catalog dimension is pruned to
+        its key and broadcast. Reference analog: cross-collection
+        ``$in`` membership lookups
+        (``/root/reference/biosample_enricher/adapters.py:610-640``).
+        """
+        media = (
+            docs_p.select(
+                "partition_id",
+                "doc_id",
+                F.posexplode("spans").alias("pos", "s"),
+            )
+            .where(F.col("s.kind").isin(*MEDIA_KINDS) & F.col("s.media_ref").isNotNull())
+            .select(
+                "partition_id",
+                "doc_id",
+                "pos",
+                F.col("s.media_ref").alias("media_ref"),
+            )
+        )
+        dangling = media.join(
+            F.broadcast(asset_catalog.select("media_ref")), "media_ref", "left_anti"
+        )
+        return dangling.select(
+            "partition_id",
+            "doc_id",
+            F.lit(C_MEDIA_REF_REFERENTIAL).alias("constraint_id"),
+            F.format_string("spans[%d].media_ref", F.col("pos")).alias("field"),
+            F.format_string(
+                "media_ref not in asset catalog: %s", F.col("media_ref")
+            ).alias("message"),
+        )
+
+    # --- suite --------------------------------------------------------------
+
+    def active_constraints(self, with_referential: bool) -> list[str]:
+        ids = list(ROW_CONSTRAINTS)
+        if self.check_uniqueness:
+            ids.append(C_DOC_ID_UNIQUE)
+        if with_referential:
+            ids.append(C_MEDIA_REF_REFERENTIAL)
+        return ids
+
+    def violations(
+        self, docs: DataFrame, asset_catalog: DataFrame | None = None
+    ) -> DataFrame:
+        docs_p = self.with_partition_id(docs)
+        out = self.row_violations(docs_p)
+        if self.check_uniqueness:
+            out = out.unionByName(self.uniqueness_violations(docs_p))
+        if asset_catalog is not None:
+            out = out.unionByName(
+                self.referential_violations(docs_p, asset_catalog)
+            )
+        return out
+
+    def summarize(
+        self,
+        docs: DataFrame,
+        violations: DataFrame,
+        with_referential: bool,
+    ) -> DataFrame:
+        """Per-(constraint, partition) pass/fail summary.
+
+        ``total`` counts distinct documents in the partition (the unit
+        of validation is the document; duplicate doc_ids are one
+        logical document). ``failed`` counts distinct documents with at
+        least one violation of the constraint. Shape follows the
+        reference's validation_summary
+        (``synthetic_validation_demo.py:96-113``).
+        """
+        docs_p = self.with_partition_id(docs)
+        totals = docs_p.groupBy("partition_id").agg(
+            F.countDistinct("doc_id").alias("total")
+        )
+        spark = docs.sparkSession
+        cids = spark.createDataFrame(
+            [(c,) for c in self.active_constraints(with_referential)],
+            "constraint_id string",
+        )
+        grid = totals.crossJoin(F.broadcast(cids))
+        failed = violations.groupBy("constraint_id", "partition_id").agg(
+            F.countDistinct("doc_id").alias("failed")
+        )
+        return (
+            grid.join(failed, ["constraint_id", "partition_id"], "left")
+            .withColumn("failed", F.coalesce(F.col("failed"), F.lit(0)))
+            .select(
+                "constraint_id",
+                "partition_id",
+                "total",
+                (F.col("total") - F.col("failed")).alias("passed"),
+                "failed",
+                F.when(F.col("total") > 0,
+                       (F.col("total") - F.col("failed")) / F.col("total"))
+                .otherwise(F.lit(1.0))
+                .alias("pass_rate"),
+            )
+        )
+
+    def run(
+        self, docs: DataFrame, asset_catalog: DataFrame | None = None
+    ) -> SuiteResult:
+        viols = self.violations(docs, asset_catalog)
+        summary = self.summarize(docs, viols, asset_catalog is not None)
+        return SuiteResult(violations=viols, summary=summary)

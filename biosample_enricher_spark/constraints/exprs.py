@@ -1,0 +1,142 @@
+"""Span-sequence integrity as pure Column expressions (JVM fast path).
+
+Semantically identical to the Arrow UDF (``udf.py``) and the Python
+oracle (``reference.py``) — asserted in tests/test_parity.py — but runs
+entirely inside Catalyst/Tungsten with no Python boundary: one
+``F.aggregate`` left-fold over the ``spans`` array carries
+``(index, prev_offset, violations)`` state through the sequence, so the
+whole per-row check is a single whole-stage-codegen-friendly projection.
+
+This is the default path for benchmarks; the Arrow UDF remains the
+mandated reference path and a drop-in alternative (``use_arrow_udf=True``
+on the suite).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..spec import (
+    C_KIND_VOCAB,
+    C_MEDIA_REF_PRESENCE,
+    C_OFFSET_ORDERING,
+    C_SPANS_NONEMPTY,
+    C_TEXT_PRESENCE,
+    KIND_VOCAB,
+    MEDIA_KINDS,
+    MSG_KIND_NULL,
+    MSG_OFFSET_NULL,
+    MSG_REF_MISSING,
+    MSG_REF_ON_TEXT,
+    MSG_SPANS_EMPTY,
+    MSG_TEXT_MISSING,
+    MSG_TEXT_ON_MEDIA,
+    NULL_SENTINELS,
+)
+
+_VIOL_ARRAY_TYPE = (
+    "array<struct<constraint_id:string,field:string,message:string>>"
+)
+def norm_is_null(c: Column) -> Column:
+    """True when the string is absent after strip + sentinel folding
+    (Spark analog of spec.normalize_text; reference:
+    ``metrics/aligner.py:234-238``, ``models.py:133``)."""
+    return c.isNull() | F.lower(F.trim(c)).isin(*sorted(NULL_SENTINELS))
+
+
+def _item(cid: str, field: Column, message: Column) -> Column:
+    return F.struct(
+        F.lit(cid).alias("constraint_id"),
+        field.alias("field"),
+        message.alias("message"),
+    )
+
+
+def _span_items(s: Column, idx: Column, prev: Column) -> Column:
+    """Candidate violation structs for one span, each guarded by a
+    boolean; invalid candidates are filtered out."""
+    kind = s["kind"]
+    text = s["text"]
+    ref = s["media_ref"]
+    off = s["offset"]
+
+    is_text = kind == "text"
+    is_media = kind.isin(*MEDIA_KINDS)
+
+    f_kind = F.format_string("spans[%d].kind", idx)
+    f_text = F.format_string("spans[%d].text", idx)
+    f_ref = F.format_string("spans[%d].media_ref", idx)
+    f_off = F.format_string("spans[%d].offset", idx)
+
+    def guarded(cond: Column, cid: str, field: Column, message: Column) -> Column:
+        return F.struct(
+            cond.alias("bad"),
+            F.lit(cid).alias("constraint_id"),
+            field.alias("field"),
+            message.alias("message"),
+        )
+
+    candidates = F.array(
+        guarded(kind.isNull(), C_KIND_VOCAB, f_kind, F.lit(MSG_KIND_NULL)),
+        guarded(
+            kind.isNotNull() & ~kind.isin(*KIND_VOCAB),
+            C_KIND_VOCAB,
+            f_kind,
+            F.format_string("kind not in vocabulary: %s", kind),
+        ),
+        guarded(is_text & norm_is_null(text), C_TEXT_PRESENCE, f_text,
+                F.lit(MSG_TEXT_MISSING)),
+        guarded(is_media & text.isNotNull(), C_TEXT_PRESENCE, f_text,
+                F.lit(MSG_TEXT_ON_MEDIA)),
+        guarded(is_media & norm_is_null(ref), C_MEDIA_REF_PRESENCE, f_ref,
+                F.lit(MSG_REF_MISSING)),
+        guarded(is_text & ref.isNotNull(), C_MEDIA_REF_PRESENCE, f_ref,
+                F.lit(MSG_REF_ON_TEXT)),
+        guarded(off.isNull(), C_OFFSET_ORDERING, f_off, F.lit(MSG_OFFSET_NULL)),
+        guarded(off.isNotNull() & (off < 0), C_OFFSET_ORDERING, f_off,
+                F.format_string("offset negative: %d", off)),
+        guarded(
+            off.isNotNull() & prev.isNotNull() & (off <= prev),
+            C_OFFSET_ORDERING,
+            f_off,
+            F.format_string("offset not increasing: %d <= %d", off, prev),
+        ),
+    )
+    kept = F.filter(candidates, lambda c: F.coalesce(c["bad"], F.lit(False)))
+    return F.transform(
+        kept,
+        lambda c: F.struct(
+            c["constraint_id"].alias("constraint_id"),
+            c["field"].alias("field"),
+            c["message"].alias("message"),
+        ),
+    )
+
+
+def span_violations(spans: Column) -> Column:
+    """``array<struct<constraint_id, field, message>>`` per document,
+    computed by a single left-fold over the spans array."""
+    init = F.struct(
+        F.lit(0).alias("idx"),
+        F.lit(None).cast("int").alias("prev"),
+        F.array().cast(_VIOL_ARRAY_TYPE).alias("viols"),
+    )
+
+    def merge(acc: Column, s: Column) -> Column:
+        items = _span_items(s, acc["idx"], acc["prev"])
+        new_prev = F.when(s["offset"].isNotNull(), s["offset"]).otherwise(acc["prev"])
+        return F.struct(
+            (acc["idx"] + 1).alias("idx"),
+            new_prev.cast("int").alias("prev"),
+            F.concat(acc["viols"], items).alias("viols"),
+        )
+
+    folded = F.aggregate(spans, init, merge, lambda acc: acc["viols"])
+    empty_item = F.array(
+        _item(C_SPANS_NONEMPTY, F.lit("spans"), F.lit(MSG_SPANS_EMPTY))
+    )
+    return (
+        F.when(spans.isNull() | (F.size(spans) == 0), empty_item)
+        .otherwise(folded)
+    )
