@@ -1,0 +1,152 @@
+"""Checkpointed, partition-granular resumable runs.
+
+The reference achieves idempotent re-runs with a read-through HTTP
+cache keyed by canonicalized request (``/root/reference/
+biosample_enricher/http_cache.py:20-44``) with HIT/MISS/BYPASS states
+(``http_cache.py:199-243``). The engine's batch equivalent: a
+checkpoint table of per-partition lineage + metrics rows
+(FIXTURES.md §A3)::
+
+    checkpoint(run_id, partition_id, constraint_id, status,
+               n_rows, n_violations, metrics map<string,double>,
+               finished_at timestamp)
+
+On resume, the pending work list is ``all_buckets EXCEPT
+completed_buckets`` — a broadcast left-anti join against the (tiny)
+set of completed partition ids, i.e. cache-HIT partitions are never
+rescanned (Catalyst prunes them at the filter). Partitions are the
+stable content-addressed buckets from ``constraints.core``, so a resume
+at a different executor count processes exactly the same remaining
+documents.
+
+Storage is a parquet directory with an Iceberg-like append-only table
+surface (``CheckpointTable``). On a cluster with an Iceberg catalog the
+same API maps to ``writeTo(...).append()``; the sandbox has no Iceberg
+runtime jar, so the thin writer abstraction (SURVEY.md §7 risk note)
+keeps the call sites identical.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .constraints.core import ConstraintSuite, stable_partition_id
+from .spec import N_BUCKETS_DEFAULT
+
+CHECKPOINT_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType(), False),
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("constraint_id", T.StringType(), False),
+        T.StructField("status", T.StringType(), False),  # ok|violations|failed
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("n_violations", T.LongType()),
+        T.StructField("metrics", T.MapType(T.StringType(), T.DoubleType())),
+        T.StructField("finished_at", T.TimestampType()),
+    ]
+)
+
+
+class CheckpointTable:
+    """Append-only checkpoint table over a parquet path (Iceberg-style
+    surface; see module docstring)."""
+
+    def __init__(self, spark: SparkSession, path: str) -> None:
+        self.spark = spark
+        self.path = path
+
+    def exists(self) -> bool:
+        return os.path.exists(self.path) and any(
+            name.endswith(".parquet") or name.startswith("part-")
+            for name in os.listdir(self.path)
+        )
+
+    def read(self) -> DataFrame:
+        if not self.exists():
+            return self.spark.createDataFrame([], CHECKPOINT_SCHEMA)
+        return self.spark.read.schema(CHECKPOINT_SCHEMA).parquet(self.path)
+
+    def append(self, rows: DataFrame) -> None:
+        rows.select([f.name for f in CHECKPOINT_SCHEMA.fields]).write.mode(
+            "append"
+        ).parquet(self.path)
+
+    def completed_partitions(self, run_id: str) -> DataFrame:
+        """Distinct partition ids fully finished for this run (every
+        constraint row present with a terminal non-failed status)."""
+        cp = self.read().where(
+            (F.col("run_id") == run_id) & (F.col("status") != "failed")
+        )
+        return cp.select("partition_id").distinct()
+
+
+def checkpoint_rows_from_summary(
+    summary: DataFrame, run_id: str
+) -> DataFrame:
+    """Summary → checkpoint lineage rows. ``finished_at`` is metadata
+    only (never feeds a data path, keeping runs deterministic)."""
+    return summary.select(
+        F.lit(run_id).alias("run_id"),
+        F.col("partition_id"),
+        F.col("constraint_id"),
+        F.when(F.col("failed") > 0, F.lit("violations"))
+        .otherwise(F.lit("ok"))
+        .alias("status"),
+        F.col("total").cast("long").alias("n_rows"),
+        F.col("failed").cast("long").alias("n_violations"),
+        F.create_map(
+            F.lit("pass_rate"), F.col("pass_rate").cast("double")
+        ).alias("metrics"),
+        F.current_timestamp().alias("finished_at"),
+    )
+
+
+class ResumableRun:
+    """Run the constraint suite with partition-granular resume."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        checkpoint_path: str,
+        run_id: str | None = None,
+        suite: ConstraintSuite | None = None,
+    ) -> None:
+        self.spark = spark
+        self.table = CheckpointTable(spark, checkpoint_path)
+        self.run_id = run_id or uuid.uuid4().hex
+        self.suite = suite or ConstraintSuite()
+
+    def pending(self, docs: DataFrame) -> DataFrame:
+        """Documents in not-yet-completed partitions (anti-join on the
+        broadcast completed-bucket set)."""
+        done = self.table.completed_partitions(self.run_id)
+        docs_p = self.suite.with_partition_id(docs)
+        return docs_p.join(F.broadcast(done), "partition_id", "left_anti").drop(
+            "partition_id"
+        )
+
+    def run(
+        self,
+        docs: DataFrame,
+        asset_catalog: DataFrame | None = None,
+        violations_path: str | None = None,
+    ) -> DataFrame:
+        """Validate all pending partitions; append lineage; return the
+        summary of the work done in THIS invocation (empty if resumed
+        past the end)."""
+        todo = self.pending(docs)
+        result = self.suite.run(todo, asset_catalog)
+        if violations_path is not None:
+            result.violations.write.mode("append").parquet(violations_path)
+        # Sever lineage BEFORE appending: the summary plan reads the
+        # checkpoint table (via pending→completed anti-join), so writing
+        # new rows to that table must not be visible to any later
+        # re-evaluation of this summary.
+        summary = result.summary.localCheckpoint(eager=True)
+        self.table.append(checkpoint_rows_from_summary(summary, self.run_id))
+        return summary

@@ -1,0 +1,128 @@
+"""Distribution-drift constraints: two-sample Kolmogorov–Smirnov over
+span-length and kind-frequency histograms (SURVEY.md §2.9).
+
+Reference analog: before/after coverage deltas and improvement
+categorization (``/root/reference/biosample_enricher/weather/metrics.py:
+225-268``) and distribution consistency analysis
+(``random_sampling_demo.py:607-640``) — re-expressed as a statistical
+test instead of hand-binned categories.
+
+Scale shape: the raw corpora are first reduced to tiny histogram tables
+by distributed ``groupBy(bucket).count()`` (map-side partial agg bounds
+the shuffle to |buckets| × partitions rows — skew-immune), then the KS
+statistic is computed per metric group inside a grouped-map Arrow UDF
+(``applyInPandas``) over the aggregated rows. Python only ever sees
+histograms, never documents. The weighted two-sample KS on binned data
+is exact for the binned distributions: D = max_bucket |CDF_a - CDF_b|.
+
+The pass threshold uses the standard large-sample critical value
+D_crit = c(alpha) * sqrt((n_a + n_b) / (n_a * n_b)), c(0.05) ≈ 1.358.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..spec import C_DRIFT_KIND_FREQ, C_DRIFT_SPAN_LEN
+from .stats import kind_histogram, span_length_histogram
+
+KS_RESULT_SCHEMA = (
+    "constraint_id string, ks_stat double, n_base long, n_cur long, "
+    "d_crit double, passed boolean"
+)
+
+_KS_C_ALPHA_05 = 1.3581015157406195  # sqrt(-0.5 * ln(0.05/2))
+
+
+def _ks_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Weighted two-sample KS from one metric's histogram rows.
+
+    Input rows: (constraint_id, bucket, n_base, n_cur) — full outer
+    union of the two histograms with zero-filled counts.
+    """
+    cid = pdf["constraint_id"].iloc[0]
+    # CDF order: numeric when every bucket parses as a number (span
+    # lengths), else lexicographic (kind categories — deterministic).
+    order = pd.to_numeric(pdf["bucket"], errors="coerce")
+    if order.notna().all():
+        pdf = pdf.assign(_ord=order).sort_values("_ord", kind="mergesort")
+    else:
+        pdf = pdf.sort_values("bucket", kind="mergesort")
+    n_a = float(pdf["n_base"].sum())
+    n_b = float(pdf["n_cur"].sum())
+    if n_a == 0 or n_b == 0:
+        # degenerate: one side empty → maximal drift unless both empty
+        stat = 0.0 if (n_a == 0 and n_b == 0) else 1.0
+        d_crit = float("nan")
+        passed = n_a == n_b
+    else:
+        cdf_a = pdf["n_base"].cumsum() / n_a
+        cdf_b = pdf["n_cur"].cumsum() / n_b
+        stat = float((cdf_a - cdf_b).abs().max())
+        d_crit = _KS_C_ALPHA_05 * math.sqrt((n_a + n_b) / (n_a * n_b))
+        passed = stat <= d_crit
+    return pd.DataFrame(
+        [
+            {
+                "constraint_id": cid,
+                "ks_stat": stat,
+                "n_base": int(n_a),
+                "n_cur": int(n_b),
+                "d_crit": d_crit,
+                "passed": bool(passed),
+            }
+        ]
+    )
+
+
+def ks_from_histograms(
+    base_hist: DataFrame,
+    cur_hist: DataFrame,
+    constraint_id: str,
+    bucket_col: str,
+) -> DataFrame:
+    """Align two histograms on their bucket key and compute the KS
+    statistic in a grouped-map Arrow UDF."""
+    a = base_hist.select(
+        F.col(bucket_col).alias("bucket"), F.col("n").alias("n_base")
+    )
+    b = cur_hist.select(F.col(bucket_col).alias("bucket"), F.col("n").alias("n_cur"))
+    joined = (
+        a.join(b, "bucket", "full_outer")
+        .select(
+            F.lit(constraint_id).alias("constraint_id"),
+            F.col("bucket").cast("string").alias("bucket"),
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    return joined.groupBy("constraint_id").applyInPandas(
+        lambda pdf: _ks_group(pdf), KS_RESULT_SCHEMA
+    )
+
+
+def drift_check(
+    baseline_docs: DataFrame,
+    current_docs: DataFrame,
+    span_len_bucket_width: int = 16,
+) -> DataFrame:
+    """Run both drift constraints baseline-vs-current → one result row
+    per constraint: (constraint_id, ks_stat, n_base, n_cur, d_crit,
+    passed)."""
+    span_len = ks_from_histograms(
+        span_length_histogram(baseline_docs, span_len_bucket_width),
+        span_length_histogram(current_docs, span_len_bucket_width),
+        C_DRIFT_SPAN_LEN,
+        "bucket",
+    )
+    kind_freq = ks_from_histograms(
+        kind_histogram(baseline_docs),
+        kind_histogram(current_docs),
+        C_DRIFT_KIND_FREQ,
+        "kind",
+    )
+    return span_len.unionByName(kind_freq)

@@ -1,0 +1,98 @@
+"""Checkpoint/resume: partition-granular work skipping (the batch
+analog of HTTP-cache HIT/MISS, FIXTURES.md §A3)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from biosample_enricher_spark.checkpoint import (
+    CheckpointTable,
+    ResumableRun,
+    checkpoint_rows_from_summary,
+)
+from biosample_enricher_spark.constraints import ConstraintSuite, stable_partition_id
+from biosample_enricher_spark.synth import GenParams, gen_asset_catalog, gen_documents
+
+P = GenParams(seed=33, n_assets=200)
+
+
+@pytest.fixture
+def corpus(spark):
+    return gen_documents(spark, 500, P), gen_asset_catalog(spark, P)
+
+
+def test_fresh_run_completes_all_partitions(spark, corpus, tmp_path):
+    docs, catalog = corpus
+    run = ResumableRun(spark, str(tmp_path / "cp"), run_id="r1",
+                       suite=ConstraintSuite(n_buckets=16))
+    summary = run.run(docs, catalog)
+    assert summary.select("partition_id").distinct().count() == 16
+    done = run.table.completed_partitions("r1")
+    assert done.count() == 16
+    # second invocation: everything HIT → no pending docs, empty summary
+    assert run.pending(docs).count() == 0
+    summary2 = run.run(docs, catalog)
+    assert summary2.count() == 0
+
+
+def test_resume_processes_only_missing_partitions(spark, corpus, tmp_path):
+    docs, catalog = corpus
+    path = str(tmp_path / "cp")
+    suite = ConstraintSuite(n_buckets=16)
+    # simulate an interrupted run: checkpoint only buckets 0..7
+    docs_p = suite.with_partition_id(docs)
+    first_half = docs_p.where(F.col("partition_id") < 8).drop("partition_id")
+    run = ResumableRun(spark, path, run_id="r2", suite=suite)
+    run.run(first_half, catalog)
+    assert run.table.completed_partitions("r2").count() == 8
+
+    pending = suite.with_partition_id(run.pending(docs))
+    pids = {r.partition_id for r in pending.select("partition_id").distinct().collect()}
+    assert pids == set(range(8, 16))
+
+    summary2 = run.run(docs, catalog)
+    pids2 = {r.partition_id for r in summary2.select("partition_id").distinct().collect()}
+    assert pids2 == set(range(8, 16))
+    assert run.table.completed_partitions("r2").count() == 16
+
+
+def test_resume_result_equals_single_shot(spark, corpus, tmp_path):
+    """Interrupted-then-resumed violations == one-shot violations."""
+    docs, catalog = corpus
+    suite = ConstraintSuite(n_buckets=16)
+    one_shot = sorted(map(tuple, suite.run(docs, catalog).violations.collect()))
+
+    path = str(tmp_path / "cp")
+    vpath = str(tmp_path / "viols")
+    docs_p = suite.with_partition_id(docs)
+    run = ResumableRun(spark, path, run_id="r3", suite=suite)
+    run.run(docs_p.where(F.col("partition_id") < 5).drop("partition_id"),
+            catalog, violations_path=vpath)
+    run.run(docs, catalog, violations_path=vpath)
+    resumed = sorted(map(tuple, spark.read.parquet(vpath).select(
+        "partition_id", "doc_id", "constraint_id", "field", "message").collect()))
+    assert resumed == one_shot
+
+
+def test_runs_are_isolated_by_run_id(spark, corpus, tmp_path):
+    docs, catalog = corpus
+    path = str(tmp_path / "cp")
+    suite = ConstraintSuite(n_buckets=16)
+    ResumableRun(spark, path, run_id="a", suite=suite).run(docs, catalog)
+    fresh = ResumableRun(spark, path, run_id="b", suite=suite)
+    assert fresh.table.completed_partitions("b").count() == 0
+    assert fresh.pending(docs).count() == docs.count()
+
+
+def test_duplicate_doc_ids_share_a_bucket(spark, corpus):
+    """Uniqueness is safe under partition-granular resume because equal
+    doc_ids land in the same content-addressed bucket."""
+    docs, _ = corpus
+    dup_buckets = (
+        docs.groupBy("doc_id")
+        .count()
+        .where(F.col("count") > 1)
+        .select(stable_partition_id(F.col("doc_id"), 16).alias("b"))
+    )
+    assert dup_buckets.count() > 0

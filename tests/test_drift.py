@@ -1,0 +1,68 @@
+"""Two-sample KS drift detection: same-distribution corpora must pass,
+shifted corpora must fail, and the statistic must match scipy-free
+Python recomputation."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from biosample_enricher_spark.operators.drift import drift_check
+from biosample_enricher_spark.spec import C_DRIFT_KIND_FREQ, C_DRIFT_SPAN_LEN
+from biosample_enricher_spark.synth import GenParams, gen_documents
+
+BASE = GenParams(seed=100).clean()
+
+
+def test_same_distribution_passes(spark):
+    a = gen_documents(spark, 1500, BASE)
+    b = gen_documents(spark, 1500, GenParams(seed=200).clean())
+    res = {r.constraint_id: r for r in drift_check(a, b).collect()}
+    assert res[C_DRIFT_SPAN_LEN].passed
+    assert res[C_DRIFT_KIND_FREQ].passed
+
+
+def test_shifted_length_fails_span_len_only(spark):
+    a = gen_documents(spark, 1500, BASE)
+    shifted = GenParams(seed=200, text_len_base=24, text_len_spread=48).clean()
+    b = gen_documents(spark, 1500, shifted)
+    res = {r.constraint_id: r for r in drift_check(a, b).collect()}
+    assert not res[C_DRIFT_SPAN_LEN].passed
+    assert res[C_DRIFT_SPAN_LEN].ks_stat > res[C_DRIFT_SPAN_LEN].d_crit
+    assert res[C_DRIFT_KIND_FREQ].passed
+
+
+def test_shifted_kind_mix_fails_kind_freq(spark):
+    a = gen_documents(spark, 1500, BASE)
+    shifted = GenParams(
+        seed=200, text_weight=300, image_weight=450, audio_weight=150
+    ).clean()
+    b = gen_documents(spark, 1500, shifted)
+    res = {r.constraint_id: r for r in drift_check(a, b).collect()}
+    assert not res[C_DRIFT_KIND_FREQ].passed
+
+
+def test_ks_stat_matches_python(spark):
+    a = gen_documents(spark, 600, BASE)
+    b = gen_documents(spark, 600, GenParams(seed=300, text_len_base=10).clean())
+    res = {r.constraint_id: r for r in drift_check(a, b, 16).collect()}
+
+    def hist(df):
+        c = Counter()
+        for r in df.collect():
+            for s in r.spans:
+                if s.text is not None:
+                    c[(len(s.text) // 16) * 16] += 1
+        return c
+
+    ha, hb = hist(a), hist(b)
+    buckets = sorted(set(ha) | set(hb))
+    na, nb = sum(ha.values()), sum(hb.values())
+    ca = cb = 0.0
+    d = 0.0
+    for k in buckets:
+        ca += ha.get(k, 0) / na
+        cb += hb.get(k, 0) / nb
+        d = max(d, abs(ca - cb))
+    got = res[C_DRIFT_SPAN_LEN]
+    assert abs(got.ks_stat - d) < 1e-12
+    assert got.n_base == na and got.n_cur == nb

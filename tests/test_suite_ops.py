@@ -1,0 +1,148 @@
+"""Uniqueness, referential, summary, and column-stats checks against
+independently-computed Python expectations."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from biosample_enricher_spark.constraints import ConstraintSuite
+from biosample_enricher_spark.operators.stats import (
+    column_stats,
+    kind_histogram,
+    span_length_histogram,
+    top_k_examples,
+)
+from biosample_enricher_spark.spec import (
+    C_DOC_ID_UNIQUE,
+    C_MEDIA_REF_REFERENTIAL,
+    MEDIA_KINDS,
+)
+from biosample_enricher_spark.synth import GenParams, gen_asset_catalog, gen_documents
+
+P = GenParams(seed=21, n_assets=300)
+N = 800
+
+
+def _corpus(spark):
+    return gen_documents(spark, N, P), gen_asset_catalog(spark, P)
+
+
+def test_uniqueness_matches_python(spark):
+    docs, _ = _corpus(spark)
+    suite = ConstraintSuite()
+    got = {
+        (r.doc_id, r.message)
+        for r in suite.uniqueness_violations(suite.with_partition_id(docs)).collect()
+    }
+    counts = Counter(r.doc_id for r in docs.select("doc_id").collect())
+    expected = {
+        (d, f"duplicate doc_id: {n} occurrences")
+        for d, n in counts.items()
+        if n > 1
+    }
+    assert got == expected
+    assert expected, "seeded duplicates should exist"
+
+
+def test_referential_matches_python(spark):
+    docs, catalog = _corpus(spark)
+    suite = ConstraintSuite()
+    got = {
+        (r.doc_id, r.field)
+        for r in suite.referential_violations(
+            suite.with_partition_id(docs), catalog
+        ).collect()
+    }
+    refs = {r.media_ref for r in catalog.select("media_ref").collect()}
+    expected = set()
+    for row in docs.collect():
+        for i, s in enumerate(row.spans):
+            if s.kind in MEDIA_KINDS and s.media_ref is not None and s.media_ref not in refs:
+                expected.add((row.doc_id, f"spans[{i}].media_ref"))
+    assert got == expected
+    assert expected, "seeded dangling refs should exist"
+
+
+def test_summary_counts_are_consistent(spark):
+    docs, catalog = _corpus(spark)
+    suite = ConstraintSuite()
+    res = suite.run(docs, catalog)
+    summary = res.summary.collect()
+    n_distinct_docs = docs.select("doc_id").distinct().count()
+    # totals per constraint sum to the distinct doc count
+    per_cid = Counter()
+    failed_cid = Counter()
+    for r in summary:
+        per_cid[r.constraint_id] += r.total
+        failed_cid[r.constraint_id] += r.failed
+        assert r.passed == r.total - r.failed
+        assert 0.0 <= r.pass_rate <= 1.0
+    assert set(per_cid.values()) == {n_distinct_docs}
+    # failed counts match distinct violating docs per constraint
+    viols = res.violations.collect()
+    expected_failed = Counter()
+    for cid, docs_set in _group_docs(viols).items():
+        expected_failed[cid] = len(docs_set)
+    for cid in per_cid:
+        assert failed_cid[cid] == expected_failed.get(cid, 0), cid
+    assert C_DOC_ID_UNIQUE in per_cid and C_MEDIA_REF_REFERENTIAL in per_cid
+
+
+def _group_docs(viols):
+    out: dict[str, set] = {}
+    for r in viols:
+        out.setdefault(r.constraint_id, set()).add(r.doc_id)
+    return out
+
+
+def test_column_stats_match_python(spark):
+    docs, _ = _corpus(spark)
+    tall = {r.metric: r.value for r in column_stats(docs).collect()
+            if r.scope == "document"}
+    rows = docs.collect()
+    assert tall["n_docs"] == len(rows)
+    sizes = [len(r.spans) for r in rows]
+    assert tall["spans_len_min"] == min(sizes)
+    assert tall["spans_len_max"] == max(sizes)
+    assert abs(tall["spans_len_avg"] - sum(sizes) / len(sizes)) < 1e-9
+    # approx distinct within 5% of exact
+    exact = len({r.doc_id for r in rows})
+    assert abs(tall["doc_id_approx_distinct"] - exact) / exact < 0.05
+
+
+def test_column_stats_by_partition_cover_all_buckets(spark):
+    docs, _ = _corpus(spark)
+    tall = column_stats(docs, by_partition=True, n_buckets=8)
+    pids = {r.partition_id for r in tall.select("partition_id").distinct().collect()}
+    assert pids == set(range(8))
+
+
+def test_histograms_match_python(spark):
+    docs, _ = _corpus(spark)
+    rows = docs.collect()
+    kinds = Counter()
+    lengths = Counter()
+    for r in rows:
+        for s in r.spans:
+            kinds[s.kind if s.kind is not None else "<null>"] += 1
+            if s.text is not None:
+                lengths[(len(s.text) // 16) * 16] += 1
+    got_k = {(r.kind, r.n) for r in kind_histogram(docs).collect()}
+    assert got_k == set(kinds.items())
+    got_l = {(r.bucket, r.n) for r in span_length_histogram(docs, 16).collect()}
+    assert got_l == set(lengths.items())
+
+
+def test_top_k_examples_deterministic_and_sorted(spark):
+    docs, _ = _corpus(spark)
+    got = {r.kind: r.examples for r in top_k_examples(docs, k=3).collect()}
+    rows = docs.collect()
+    by_kind: dict[str, set] = {}
+    for r in rows:
+        for s in r.spans:
+            if s.kind is not None and s.text is not None:
+                by_kind.setdefault(s.kind, set()).add(s.text)
+    for kind, texts in by_kind.items():
+        assert got[kind] == sorted(texts)[:3], kind
