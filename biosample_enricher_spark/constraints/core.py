@@ -57,6 +57,9 @@ class SuiteResult:
     violations: DataFrame  # partition_id, doc_id, constraint_id, field, message
     summary: DataFrame     # constraint_id, partition_id, total, passed, failed, pass_rate
 
+    def unpersist(self) -> None:
+        self.violations.unpersist()
+
 
 class ConstraintSuite:
     """The engine's built-in suite over the interleaved-documents table."""
@@ -207,12 +210,18 @@ class ConstraintSuite:
         totals = docs_p.groupBy("partition_id").agg(
             F.countDistinct("doc_id").alias("total")
         )
-        spark = docs.sparkSession
-        cids = spark.createDataFrame(
-            [(c,) for c in self.active_constraints(with_referential)],
-            "constraint_id string",
+        # constraint × partition grid via a literal-array explode — pure
+        # JVM; a local createDataFrame here would pay Python-runner
+        # startup (~seconds) for a 7-row dimension
+        grid = totals.select(
+            "partition_id",
+            "total",
+            F.explode(
+                F.array(
+                    *[F.lit(c) for c in self.active_constraints(with_referential)]
+                )
+            ).alias("constraint_id"),
         )
-        grid = totals.crossJoin(F.broadcast(cids))
         failed = violations.groupBy("constraint_id", "partition_id").agg(
             F.countDistinct("doc_id").alias("failed")
         )
@@ -233,8 +242,18 @@ class ConstraintSuite:
         )
 
     def run(
-        self, docs: DataFrame, asset_catalog: DataFrame | None = None
+        self,
+        docs: DataFrame,
+        asset_catalog: DataFrame | None = None,
+        materialize: bool = True,
     ) -> SuiteResult:
+        """Full suite. With ``materialize`` (default) the violations
+        frame is persisted so the summary reuses it instead of
+        recomputing the row-constraint scan — violations are tiny
+        relative to the corpus (call ``SuiteResult.unpersist()`` when
+        done)."""
         viols = self.violations(docs, asset_catalog)
+        if materialize:
+            viols = viols.persist()
         summary = self.summarize(docs, viols, asset_catalog is not None)
         return SuiteResult(violations=viols, summary=summary)

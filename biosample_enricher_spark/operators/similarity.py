@@ -1,0 +1,167 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers:
+
+- **Brute-force cosine top-k** — exact baseline. The dot product /
+  norms are pure higher-order-function expressions
+  (``F.aggregate``/``F.zip_with``) against a broadcast query vector;
+  top-k via one ORDER BY LIMIT (Spark executes TakeOrderedAndProject —
+  per-partition heaps + driver merge of k rows, no global sort
+  materialization).
+- **LSH-bucketed (random hyperplane / signed random projection)** —
+  the scale path: sign-bit sketches bucket vectors so the probe only
+  scans matching buckets; Hamming distance on the sketch approximates
+  angular distance.
+
+Hyperplanes are generated deterministically from a seed (hash-based,
+no RNG state), so plans are reproducible and resumable.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = embeddings.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+def _hyperplane(dim: int, plane_idx: int, seed: int = 7) -> list[float]:
+    """Deterministic pseudo-random unit-ish hyperplane: component j is
+    a hash-derived value in [-1, 1). Pure function of (seed, plane, j)
+    via md5 (process-salt-free, unlike builtin hash())."""
+    import hashlib
+
+    out = []
+    for j in range(dim):
+        digest = hashlib.md5(f"{seed}:{plane_idx}:{j}".encode()).digest()
+        h = int.from_bytes(digest[:4], "little")
+        out.append((h / 0x80000000) - 1.0)
+    return out
+
+
+def srp_sketch(vec: Column, planes: list[list[float]]) -> Column:
+    """Signed-random-projection sketch: bit b = sign(vec · plane_b),
+    packed into a long (≤ 64 planes)."""
+    assert len(planes) <= 64
+    bits = [
+        F.when(dot(vec, F.array(*[F.lit(float(v)) for v in plane])) > 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        * F.lit(1 << b).cast("long")
+        for b, plane in enumerate(planes)
+    ]
+    out = F.lit(0).cast("long")
+    for piece in bits:
+        out = out + piece
+    return out
+
+
+def srp_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 16,
+    max_hamming: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate cosine top-k: prefilter to vectors whose SRP sketch
+    is within ``max_hamming`` bits of the query's sketch, then exact
+    cosine re-rank of the survivors. At scale the sketch is computed
+    once at ingest and the prefilter is a cheap long-column predicate —
+    the full-vector math runs only on the candidate set."""
+    planes = [_hyperplane(len(query_vec), p, seed) for p in range(n_planes)]
+    q_sketch = 0
+    for b, plane in enumerate(planes):
+        s = sum(float(x) * float(y) for x, y in zip(query_vec, plane))
+        if s > 0:
+            q_sketch |= 1 << b
+    sk = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        srp_sketch(F.col(vec_col), planes).alias("sketch"),
+    )
+    cands = sk.where(
+        F.bit_count(F.col("sketch").bitwiseXOR(F.lit(q_sketch))) <= max_hamming
+    )
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        cands.select(
+            F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim")
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def pairwise_near_neighbors(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: SRP-bucket equijoin for
+    candidates (exact sketch match ⇒ same half-space for every plane),
+    then exact cosine verify. Returns (id_a, id_b, cos_sim ≥ threshold)."""
+    if dim is None:
+        first = embeddings.select(F.size(vec_col).alias("d")).first()
+        dim = int(first["d"])
+    planes = [_hyperplane(dim, p, seed) for p in range(n_planes)]
+    sk = embeddings.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(vec_col).alias("vec"),
+        srp_sketch(F.col(vec_col), planes).alias("sketch"),
+    )
+    a = sk.alias("a")
+    b = sk.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.sketch") == F.col("b.sketch"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,105 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+token counting, language-ID heuristic, quality scoring, and document
+fingerprinting — all pure Column expressions (JVM-side, codegen'd; no
+Python in the hot path).
+
+These extend the engine beyond the reference's operator set (the
+reference's closest analogs are keyword-containment classification,
+``/root/reference/biosample_enricher/host_detector.py:61-105``, and
+completeness scoring, ``models.py:86-112``), as required for the
+training-data pipeline surface.
+
+All functions take a ``text`` Column and return a Column, so they
+compose into any select; the `queries()` driver contract exposes them
+over the driver's ``documents(doc_id, text, lang, source, n_chars)``
+table with DuckDB oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small fixed stopword sets for the n-gram language heuristic. Keeping
+# them tiny and hard-coded makes the scoring reproducible in ANSI SQL
+# for the DuckDB oracle.
+EN_MARKERS = ("the", "and", "of", "to", "in", "is", "that", "for", "with", "was")
+DE_MARKERS = ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu")
+FR_MARKERS = ("le", "la", "les", "et", "est", "une", "que", "pour", "dans", "des")
+ES_MARKERS = ("el", "la", "los", "las", "es", "que", "una", "por", "para", "con")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count; empty/blank → 0."""
+    trimmed = F.trim(text)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def _marker_regex(markers: tuple[str, ...]) -> str:
+    return r"\b(" + "|".join(markers) + r")\b"
+
+
+def marker_hits(text: Column, markers: tuple[str, ...]) -> Column:
+    """Count of language-marker word occurrences (case-insensitive)."""
+    return F.regexp_count(F.lower(text), F.lit(_marker_regex(markers)))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    return {
+        "en": marker_hits(text, EN_MARKERS),
+        "de": marker_hits(text, DE_MARKERS),
+        "fr": marker_hits(text, FR_MARKERS),
+        "es": marker_hits(text, ES_MARKERS),
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """Pick the language with the most marker hits; 'und' when no
+    markers at all. Ties break by fixed language order (en,de,fr,es) —
+    deterministic and SQL-reproducible."""
+    scores = lang_scores(text)
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    # reversed order so earlier languages win ties in the when-chain
+    for code in ("es", "fr", "de", "en"):
+        out = F.when((scores[code] == best) & (best > 0), F.lit(code)).otherwise(out)
+    return out
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    punct = F.length(F.regexp_replace(text, r"[^!-/:-@\[-`{-~]", ""))
+    return F.when(n > 0, punct / n).otherwise(F.lit(0.0))
+
+
+def alpha_ratio(text: Column) -> Column:
+    n = F.length(text)
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    return F.when(n > 0, alpha / n).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic [0,1] quality score: length band + alpha ratio −
+    punctuation penalty. Analog of the reference's completeness score
+    (``models.py:86-112``): a bounded composite of simple signals."""
+    n_tok = token_count(text)
+    len_component = F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.4
+    alpha_component = alpha_ratio(text) * 0.4
+    punct_penalty = F.least(punct_ratio(text) * 2.0, F.lit(0.2))
+    score = len_component + alpha_component + F.lit(0.2) - punct_penalty
+    return F.round(F.greatest(F.least(score, F.lit(1.0)), F.lit(0.0)), 6)
+
+
+def normalize_for_fingerprint(text: Column) -> Column:
+    """Canonical form for dedup fingerprints: lowercase, collapse all
+    whitespace runs to single spaces, strip. Analog of canonical
+    request keys (``http_cache.py:20-44``)."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic 128-bit content fingerprint (md5 of the canonical
+    form) — portable to the DuckDB oracle."""
+    return F.md5(normalize_for_fingerprint(text))

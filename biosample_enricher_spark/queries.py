@@ -1,0 +1,787 @@
+"""Driver-contract query registry.
+
+One entry per implemented operator family from SURVEY.md §2, expressed
+over the driver-provided parquet tables (``/root/testdata/sf*/``), each
+with an equivalent ANSI-SQL oracle for DuckDB. Column names/aliases are
+identical on both sides (the driver's compare hashes values after
+sorting columns by name). Float-valued aggregates are rounded on BOTH
+sides to dodge representation noise.
+
+Registry: ``QUERIES[name] -> (spark, sf_dir) -> DataFrame`` and
+``ORACLES[name] -> SQL string`` (omitted for non-SQL-expressible ops,
+which the driver checks rows-only).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from .operators import dedup as D
+from .operators import similarity as S
+from .operators import text as X
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =====================================================================
+# §2.1 scans / sources  +  §2.2 filters / predicates
+# =====================================================================
+
+@q(
+    "s1_scan_filter_project",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1995-01-01' AND l_discount > 0.05
+    """,
+)
+def s1_scan_filter_project(spark, sf_dir):
+    """S1: scan + pushed-down filter + column-pruned projection
+    (reference: collection.find cursor, adapters.py:679-691)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .where((F.col("l_shipdate") < "1995-01-01") & (F.col("l_discount") > 0.05))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    )
+
+
+@q(
+    "s2_existence_filter",
+    """
+    SELECT doc_id, n_chars FROM documents
+    WHERE text IS NOT NULL AND length(trim(text)) > 0 AND lang IS NOT NULL
+    """,
+)
+def s2_existence_filter(spark, sf_dir):
+    """S2: null/empty-presence predicates (adapters.py:696-710)."""
+    return (
+        t(spark, sf_dir, "documents")
+        .where(
+            F.col("text").isNotNull()
+            & (F.length(F.trim("text")) > 0)
+            & F.col("lang").isNotNull()
+        )
+        .select("doc_id", "n_chars")
+    )
+
+
+@q(
+    "s5_id_lookup",
+    """
+    SELECT doc_id, source, n_chars FROM documents
+    WHERE doc_id IN (1, 2, 3, 5, 8, 13, 21, 34)
+    """,
+)
+def s5_id_lookup(spark, sf_dir):
+    """S5: $in id-list lookup (adapters.py:734-746)."""
+    return (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id").isin(1, 2, 3, 5, 8, 13, 21, 34))
+        .select("doc_id", "source", "n_chars")
+    )
+
+
+@q(
+    "s6_count_scan",
+    """
+    SELECT count(*) AS n_rows,
+           count(text) AS n_text,
+           count(*) FILTER (WHERE n_chars > 500) AS n_long
+    FROM documents
+    """,
+)
+def s6_count_scan(spark, sf_dir):
+    """S6: count with/without predicate (adapters.py:712-732)."""
+    return t(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("text").alias("n_text"),
+        F.count(F.when(F.col("n_chars") > 500, 1)).alias("n_long"),
+    )
+
+
+@q(
+    "s8_union_limit",
+    """
+    SELECT * FROM (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+      UNION ALL
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'O'
+    ) ORDER BY o_orderkey LIMIT 100
+    """,
+)
+def s8_union_limit(spark, sf_dir):
+    """S8: interleaved sources under a shared limit (adapters.py:953-972);
+    ordered for determinism."""
+    o = t(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "F").select("o_orderkey", "o_totalprice")
+    b = o.where(F.col("o_orderstatus") == "O").select("o_orderkey", "o_totalprice")
+    return a.unionByName(b).orderBy("o_orderkey").limit(100)
+
+
+@q(
+    "p4_coalesce_first_nonnull",
+    """
+    SELECT doc_id,
+           coalesce(nullif(trim(lang), ''), source, 'und') AS lang_norm
+    FROM documents
+    """,
+)
+def p4_coalesce_first_nonnull(spark, sf_dir):
+    """P4: first-non-null over candidate paths (aligner.py:133-152)."""
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.coalesce(
+            F.nullif(F.trim("lang"), F.lit("")), F.col("source"), F.lit("und")
+        ).alias("lang_norm"),
+    )
+
+
+@q(
+    "p5_range_predicate",
+    """
+    SELECT event_type, count(*) AS n FROM events
+    WHERE value BETWEEN 10 AND 90 AND user_id IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def p5_range_predicate(spark, sf_dir):
+    """P5: range-validity predicate (models.py:114-121 lat/lon bounds)."""
+    return (
+        t(spark, sf_dir, "events")
+        .where(F.col("value").between(10, 90) & F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# =====================================================================
+# §2.4 aggregations
+# =====================================================================
+
+@q(
+    "a1_null_rate_coverage",
+    """
+    SELECT round(avg(CASE WHEN text IS NULL THEN 1 ELSE 0 END), 6) AS text_null_rate,
+           round(avg(CASE WHEN lang IS NULL THEN 1 ELSE 0 END), 6) AS lang_null_rate,
+           round(avg(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END), 6) AS n_chars_null_rate
+    FROM documents
+    """,
+)
+def a1_null_rate_coverage(spark, sf_dir):
+    """A1: per-field coverage in one pass (schema_statistics.py:78-87)."""
+    d = t(spark, sf_dir, "documents")
+    return d.agg(
+        *[
+            F.round(F.avg(F.col(c).isNull().cast("int")), 6).alias(f"{c}_null_rate")
+            for c in ("text", "lang", "n_chars")
+        ]
+    )
+
+
+@q(
+    "a2_distinct_counts",
+    """
+    SELECT count(DISTINCT user_id) AS n_users,
+           count(DISTINCT event_type) AS n_types
+    FROM events
+    """,
+)
+def a2_distinct_counts(spark, sf_dir):
+    """A2: distinct counting, exact for the oracle
+    (schema_statistics.py:78-86); the engine's scale path is
+    approx_count_distinct — see a2_approx (rows-only)."""
+    return t(spark, sf_dir, "events").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+@q("a2_approx_distinct")  # rows-only: HLL estimate has no exact SQL twin
+def a2_approx_distinct(spark, sf_dir):
+    return t(spark, sf_dir, "events").agg(
+        F.approx_count_distinct("user_id").alias("n_users_approx")
+    )
+
+
+@q(
+    "a3_value_histogram",
+    "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+)
+def a3_value_histogram(spark, sf_dir):
+    """A3: type/kind histogram analog (schema_statistics.py:80-88)."""
+    return t(spark, sf_dir, "documents").groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@q(
+    "a4_topk_examples",
+    """
+    SELECT source, doc_id, n_chars FROM (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM documents
+    ) WHERE rk <= 3
+    """,
+)
+def a4_topk_examples(spark, sf_dir):
+    """A4/W4: per-group top-K (schema_statistics.py:88-94)."""
+    w = W.partitionBy("source").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        t(spark, sf_dir, "documents")
+        .select("source", "doc_id", "n_chars", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= 3)
+        .drop("rk")
+    )
+
+
+@q(
+    "a5_minmax_bounds",
+    """
+    SELECT source, min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM documents GROUP BY source
+    """,
+)
+def a5_minmax_bounds(spark, sf_dir):
+    """A5/A6: bounds + mean rates (biosample_elevation_mapper.py:380-396)."""
+    return t(spark, sf_dir, "documents").groupBy("source").agg(
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+@q(
+    "a7_variance",
+    """
+    SELECT o_orderstatus,
+           round(var_samp(o_totalprice), 2) AS var_price,
+           round(stddev_samp(o_totalprice), 4) AS std_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def a7_variance(spark, sf_dir):
+    """A7: variance (random_sampling_demo.py:339-346)."""
+    return t(spark, sf_dir, "orders").groupBy("o_orderstatus").agg(
+        F.round(F.var_samp("o_totalprice"), 2).alias("var_price"),
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("std_price"),
+    )
+
+
+@q(
+    "a9_grouped_coverage",
+    """
+    SELECT source,
+           count(*) AS n_docs,
+           round(avg(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END), 6) AS text_coverage,
+           round(sum(n_chars) / count(*), 4) AS chars_per_doc
+    FROM documents GROUP BY source
+    """,
+)
+def a9_grouped_coverage(spark, sf_dir):
+    """A8/A9: per-source before/after coverage table
+    (metrics/reporter.py:50-138)."""
+    return t(spark, sf_dir, "documents").groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(F.col("text").isNotNull().cast("int")), 6).alias(
+            "text_coverage"
+        ),
+        F.round(F.sum("n_chars") / F.count(F.lit(1)), 4).alias("chars_per_doc"),
+    )
+
+
+@q(
+    "a10_region_rollup",
+    """
+    SELECT r.r_name AS region, count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def a10_region_rollup(spark, sf_dir):
+    """A10/J1: grouped coverage by region via dimension joins
+    (metrics/reporter.py:445-479); dims are broadcast."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@q(
+    "a11_mode",
+    """
+    SELECT bucket, event_type AS mode_type FROM (
+      SELECT user_id % 10 AS bucket, event_type, count(*) AS n,
+             row_number() OVER (PARTITION BY user_id % 10
+                                ORDER BY count(*) DESC, event_type) AS rk
+      FROM events GROUP BY user_id % 10, event_type
+    ) WHERE rk = 1
+    """,
+)
+def a11_mode(spark, sf_dir):
+    """A11: most-common value per group (weather/metrics.py:345-361),
+    deterministic tie-break."""
+    e = t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 10).alias("bucket"), "event_type"
+    )
+    counts = e.groupBy("bucket", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("bucket").orderBy(F.col("n").desc(), F.col("event_type"))
+    return (
+        counts.select("bucket", "event_type", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") == 1)
+        .select("bucket", F.col("event_type").alias("mode_type"))
+    )
+
+
+@q(
+    "a12_bucket_histogram",
+    """
+    SELECT CAST(floor(n_chars / 100) AS BIGINT) AS bucket, count(*) AS n
+    FROM documents GROUP BY 1
+    """,
+)
+def a12_bucket_histogram(spark, sf_dir):
+    """A12: distribution histogram feeding drift (weather/metrics.py:
+    278-289)."""
+    return (
+        t(spark, sf_dir, "documents")
+        .select(F.floor(F.col("n_chars") / 100).cast("bigint").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q(
+    "a13_uniqueness_violations",
+    """
+    SELECT l_orderkey AS key, count(*) AS n FROM lineitem
+    GROUP BY l_orderkey HAVING count(*) > 1
+    """,
+)
+def a13_uniqueness_violations(spark, sf_dir):
+    """A13: uniqueness check via salted two-stage aggregation (the
+    north_rule pattern; reference analog adapters.py:327-338). Stage 1
+    pre-counts per (physical partition, key); stage 2 re-aggregates —
+    result identical to a direct groupBy, shuffle bounded under skew."""
+    li = t(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("key"))
+    stage1 = (
+        li.withColumn("_salt", F.pmod(F.spark_partition_id(), F.lit(64)))
+        .groupBy("_salt", "key")
+        .agg(F.count(F.lit(1)).alias("_partial"))
+    )
+    return (
+        stage1.groupBy("key")
+        .agg(F.sum("_partial").cast("bigint").alias("n"))
+        .where(F.col("n") > 1)
+    )
+
+
+# =====================================================================
+# §2.3 joins  +  §2.5 windows
+# =====================================================================
+
+@q(
+    "j3_referential_antijoin",
+    """
+    SELECT DISTINCT e.user_id FROM events e
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+      AND e.user_id IS NOT NULL
+    """,
+)
+def j3_referential_antijoin(spark, sf_dir):
+    """J3: referential-integrity left-anti join against a broadcast
+    dimension (adapters.py:610-640 $in lookups)."""
+    e = t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    c = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("user_id"))
+    return e.select("user_id").join(F.broadcast(c), "user_id", "left_anti").distinct()
+
+
+@q(
+    "j4_tolerance_join",
+    """
+    SELECT o.o_orderpriority, count(*) AS n
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE datediff('day', o.o_orderdate, l.l_shipdate) BETWEEN 0 AND 30
+    GROUP BY o.o_orderpriority
+    """,
+)
+def j4_tolerance_join(spark, sf_dir):
+    """J4: temporal tolerance join — equi-join on the key plus a
+    day-difference band filter, avoiding a nested-loop range join
+    (aligner.py:251-295)."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .where(F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).between(0, 30))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q(
+    "w1_best_per_group",
+    """
+    SELECT o_custkey, o_orderkey AS best_order, o_totalprice AS best_price
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders
+    ) WHERE rk = 1
+    """,
+)
+def w1_best_per_group(spark, sf_dir):
+    """W1/J5: best-observation selection per key (elevation/service.py:
+    296-312 min-by-distance)."""
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice",
+                F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("best_order"),
+            F.col("o_totalprice").alias("best_price"),
+        )
+    )
+
+
+# =====================================================================
+# §2.7 set ops  +  §2.8 scalar functions
+# =====================================================================
+
+@q(
+    "u1_union_tagged",
+    """
+    SELECT src, count(*) AS n FROM (
+      SELECT 'click' AS src FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT 'view' AS src FROM events WHERE event_type = 'view'
+    ) GROUP BY src
+    """,
+)
+def u1_union_tagged(spark, sf_dir):
+    """U1: tagged union of sources (cli_metrics.py:194,274)."""
+    e = t(spark, sf_dir, "events")
+    a = e.where(F.col("event_type") == "click").select(F.lit("click").alias("src"))
+    b = e.where(F.col("event_type") == "view").select(F.lit("view").alias("src"))
+    return a.unionByName(b).groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+
+
+@q(
+    "u2_dedup_distinct",
+    "SELECT DISTINCT lang, source FROM documents",
+)
+def u2_dedup_distinct(spark, sf_dir):
+    """U2: cross-row dedup (adapters.py:330,599,635)."""
+    return t(spark, sf_dir, "documents").select("lang", "source").distinct()
+
+
+@q(
+    "f_scalar_gauntlet",
+    """
+    SELECT doc_id,
+           lower(trim(lang)) AS lang_lc,
+           length(text) AS text_len,
+           substring(md5(text), 1, 8) AS text_md5_8,
+           CASE WHEN n_chars >= 1000 THEN 'long'
+                WHEN n_chars >= 200 THEN 'medium'
+                ELSE 'short' END AS size_class,
+           regexp_replace(source, '^src_', '') AS source_stripped
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
+def f_scalar_gauntlet(spark, sf_dir):
+    """F1-F7: trim/lower/length/hash/when-chain/prefix-strip
+    (adapters.py, host_detector.py, models.py scalar surface)."""
+    return (
+        t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.lower(F.trim("lang")).alias("lang_lc"),
+            F.length("text").alias("text_len"),
+            F.substring(F.md5("text"), 1, 8).alias("text_md5_8"),
+            F.when(F.col("n_chars") >= 1000, "long")
+            .when(F.col("n_chars") >= 200, "medium")
+            .otherwise("short")
+            .alias("size_class"),
+            F.regexp_replace("source", "^src_", "").alias("source_stripped"),
+        )
+    )
+
+
+@q(
+    "f8_date_functions",
+    """
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%d') AS day,
+           CAST(EXTRACT(year FROM ts) AS INT) AS yr,
+           datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS days_since
+    FROM events
+    """,
+)
+def f8_date_functions(spark, sf_dir):
+    """F6/F8/F9/F10: date parse/format/diff (adapters.py:149-196)."""
+    return t(spark, sf_dir, "events").select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.year("ts").cast("int").alias("yr"),
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("days_since"),
+    )
+
+
+@q(
+    "f11_haversine",
+    """
+    SELECT event_id,
+           round(2 * 6371.0 * asin(sqrt(
+             pow(sin(radians(((value * 1.8) - 90) - 37.7749) / 2), 2)
+             + cos(radians(37.7749)) * cos(radians((value * 1.8) - 90))
+             * pow(sin(radians(((user_id % 360) - 180) - (-122.4194)) / 2), 2)
+           )), 4) AS dist_km
+    FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+    """,
+)
+def f11_haversine(spark, sf_dir):
+    """F11: haversine distance as pure column math
+    (elevation/utils.py:6-38). Synthetic lat/lon derived from event
+    columns; fixed reference point (37.7749, -122.4194)."""
+    e = t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    lat = (F.col("value") * 1.8) - 90
+    lon = (F.col("user_id") % 360) - 180
+    lat0, lon0 = 37.7749, -122.4194
+    dlat = F.radians(lat - F.lit(lat0))
+    dlon = F.radians(lon - F.lit(lon0))
+    h = (
+        F.pow(F.sin(dlat / 2), 2)
+        + F.cos(F.radians(F.lit(lat0))) * F.cos(F.radians(lat))
+        * F.pow(F.sin(dlon / 2), 2)
+    )
+    return e.select(
+        "event_id",
+        F.round(F.lit(2 * 6371.0) * F.asin(F.sqrt(h)), 4).alias("dist_km"),
+    )
+
+
+@q(
+    "f14_bbox_classify",
+    """
+    SELECT event_id,
+      CASE WHEN ((value * 1.8) - 90) BETWEEN 24 AND 50
+                AND (((user_id % 360) - 180)) BETWEEN -125 AND -66 THEN 'CONUS'
+           WHEN ((value * 1.8) - 90) BETWEEN 51 AND 72
+                AND (((user_id % 360) - 180)) BETWEEN -170 AND -129 THEN 'AK'
+           WHEN ((value * 1.8) - 90) BETWEEN 18 AND 23
+                AND (((user_id % 360) - 180)) BETWEEN -161 AND -154 THEN 'HI'
+           ELSE 'OTHER' END AS region_class
+    FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+    """,
+)
+def f14_bbox_classify(spark, sf_dir):
+    """F14: bounding-box membership chains (elevation/classifier.py:
+    137-172)."""
+    e = t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    lat = (F.col("value") * 1.8) - 90
+    lon = (F.col("user_id") % 360) - 180
+    return e.select(
+        "event_id",
+        F.when(lat.between(24, 50) & lon.between(-125, -66), "CONUS")
+        .when(lat.between(51, 72) & lon.between(-170, -129), "AK")
+        .when(lat.between(18, 23) & lon.between(-161, -154), "HI")
+        .otherwise("OTHER")
+        .alias("region_class"),
+    )
+
+
+@q(
+    "f22_null_sentinels",
+    """
+    SELECT doc_id,
+           CASE WHEN lower(trim(lang)) IN ('null','n/a','unknown','none','')
+                THEN NULL ELSE trim(lang) END AS lang_clean
+    FROM documents
+    """,
+)
+def f22_null_sentinels(spark, sf_dir):
+    """F22: null-sentinel normalization (aligner.py:234-238)."""
+    lang = F.trim("lang")
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.lower(lang).isin("null", "n/a", "unknown", "none", ""), F.lit(None)
+        )
+        .otherwise(lang)
+        .alias("lang_clean"),
+    )
+
+
+# =====================================================================
+# training-data pipeline: text analysis / dedup / similarity
+# =====================================================================
+
+@q(
+    "text_token_count",
+    """
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 OR text IS NULL THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
+def text_token_count(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", X.token_count(F.col("text")).alias("n_tokens"))
+    )
+
+
+@q(
+    "text_lang_id",
+    """
+    WITH scored AS (
+      SELECT doc_id,
+        len(regexp_extract_all(lower(text),
+          '\\b(the|and|of|to|in|is|that|for|with|was)\\b')) AS en_h,
+        len(regexp_extract_all(lower(text),
+          '\\b(der|die|das|und|ist|nicht|ein|mit|von|zu)\\b')) AS de_h,
+        len(regexp_extract_all(lower(text),
+          '\\b(le|la|les|et|est|une|que|pour|dans|des)\\b')) AS fr_h,
+        len(regexp_extract_all(lower(text),
+          '\\b(el|la|los|las|es|que|una|por|para|con)\\b')) AS es_h
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id,
+      CASE WHEN en_h > 0 AND en_h >= de_h AND en_h >= fr_h AND en_h >= es_h THEN 'en'
+           WHEN de_h > 0 AND de_h >= fr_h AND de_h >= es_h THEN 'de'
+           WHEN fr_h > 0 AND fr_h >= es_h THEN 'fr'
+           WHEN es_h > 0 THEN 'es'
+           ELSE 'und' END AS pred_lang
+    FROM scored
+    """,
+)
+def text_lang_id(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", X.lang_id(F.col("text")).alias("pred_lang"))
+    )
+
+
+@q(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", X.fingerprint(F.col("text")).alias("fp"))
+    )
+
+
+@q(
+    "dedup_exact_groups",
+    """
+    SELECT fp, count(*) AS n_docs, min(doc_id) AS keep_id FROM (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents WHERE text IS NOT NULL
+    ) GROUP BY fp HAVING count(*) > 1
+    """,
+)
+def dedup_exact_groups(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return D.exact_duplicates(d, "doc_id", "text")
+
+
+@q("dedup_minhash_pairs")  # rows-only: LSH banding is not SQL-expressible
+def dedup_minhash_pairs(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return D.minhash_near_duplicates(
+        d, "doc_id", "text", threshold=0.7, num_hashes=64, bands=16
+    )
+
+
+@q("dedup_simhash_pairs")  # rows-only: bit-vote UDF
+def dedup_simhash_pairs(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return D.simhash_near_duplicates(d, "doc_id", "text", max_hamming=3)
+
+
+@q(
+    "ann_bruteforce_topk",
+    """
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round(CAST(list_cosine_similarity(
+             CAST(e.embedding AS DOUBLE[]), q.qv) AS DOUBLE), 6) AS cos_sim
+    FROM embeddings e, q
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def ann_bruteforce_topk(spark, sf_dir):
+    """Brute-force cosine top-k vs the vec_id=0 embedding."""
+    emb = t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return S.brute_force_topk(emb, list(qvec), k=10)
+
+
+@q("ann_srp_topk")  # rows-only: sketch prefilter is engine-specific
+def ann_srp_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return S.srp_topk(emb, list(qvec), k=10, n_planes=16, max_hamming=8)

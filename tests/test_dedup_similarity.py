@@ -1,0 +1,150 @@
+"""Dedup (exact / jaccard / minhash-LSH / simhash) and embedding
+similarity (brute-force / SRP) against Python ground truth."""
+
+from __future__ import annotations
+
+import itertools
+import re
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from biosample_enricher_spark.operators.dedup import (
+    exact_duplicates,
+    jaccard_candidates,
+    minhash_near_duplicates,
+    simhash_near_duplicates,
+)
+from biosample_enricher_spark.operators.similarity import (
+    brute_force_topk,
+    pairwise_near_neighbors,
+    srp_topk,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog near the river bank today"
+DOCS = [
+    (1, BASE),
+    (2, BASE),  # exact dup of 1
+    (3, BASE.replace("lazy", "sleepy")),          # near dup
+    (4, BASE.replace("quick", "slow").replace("today", "tomorrow")),  # near dup
+    (5, "completely different text about spark dataframes and shuffles here"),
+    (6, "THE  Quick   brown fox jumps over the lazy dog near the river bank today"),  # canonical dup of 1
+    (7, "short one"),
+    (8, "spark dataframes and shuffles are completely different topics entirely"),
+]
+
+
+def _shingles(text, n=3):
+    words = re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+    return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+
+
+def _true_jaccard_pairs(threshold, n=3):
+    out = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(DOCS, 2):
+        sa, sb = _shingles(ta, n), _shingles(tb, n)
+        if not sa or not sb:
+            continue
+        j = len(sa & sb) / len(sa | sb)
+        if j >= threshold:
+            out[(min(ia, ib), max(ia, ib))] = j
+    return out
+
+
+@pytest.fixture(scope="module")
+def ddf(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"]).cache()
+
+
+def test_exact_duplicates(spark, ddf):
+    got = exact_duplicates(ddf, "doc_id", "text").collect()
+    assert len(got) == 1
+    assert got[0].n_docs == 3  # docs 1, 2, 6 share the canonical form
+    assert got[0].keep_id == 1
+
+
+def test_jaccard_candidates_match_bruteforce(spark, ddf):
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_candidates(ddf, "doc_id", "text", 3, 0.3).collect()
+    }
+    expected = _true_jaccard_pairs(0.3)
+    assert set(got) == set(expected)
+    for k in got:
+        assert abs(got[k] - expected[k]) < 1e-9
+
+
+def test_minhash_lsh_finds_high_similarity_pairs(spark, ddf):
+    got = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_duplicates(
+            ddf, "doc_id", "text", threshold=0.5, num_hashes=64, bands=32
+        ).collect()
+    }
+    expected = set(_true_jaccard_pairs(0.5))
+    # verified-jaccard output: no false positives possible
+    assert got <= set(_true_jaccard_pairs(0.5))
+    # with 32 bands of 2 rows, P(detect) at j>=0.5 is >0.999 for these pairs
+    assert got == expected
+
+
+def test_simhash_identical_and_near_texts(spark, ddf):
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_duplicates(ddf, "doc_id", "text", max_hamming=6).collect()
+    }
+    # canonical dups have identical signatures
+    assert got.get((1, 2)) == 0
+    assert got.get((1, 6)) == 0
+    assert got.get((2, 6)) == 0
+    # unrelated docs must not appear at tight radius
+    assert (1, 5) not in got and (5, 7) not in got
+
+
+# --- embeddings ---------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def edf(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+
+def test_brute_force_topk_matches_numpy(spark, edf):
+    rows = edf.collect()
+    q = rows[0].embedding
+    got = brute_force_topk(edf, q, k=5).collect()
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    qv = np.array(q, dtype=np.float64)
+    sims = mat @ qv / (np.linalg.norm(mat, axis=1) * np.linalg.norm(qv))
+    order = sorted(
+        zip([r.vec_id for r in rows], np.round(sims, 6)),
+        key=lambda t: (-t[1], t[0]),
+    )[:5]
+    assert [(r.vec_id, r.cos_sim) for r in got] == [(i, float(s)) for i, s in order]
+    assert got[0].vec_id == rows[0].vec_id and abs(got[0].cos_sim - 1.0) < 1e-6
+
+
+def test_srp_topk_recall_against_bruteforce(spark, edf):
+    q = edf.first().embedding
+    exact = {r.vec_id for r in brute_force_topk(edf, q, k=10).collect()}
+    # the synthetic embeddings are weakly correlated (true top-10 cosines
+    # ≈0.3 ⇒ angles ≈72° ⇒ expected sketch disagreement ≈6.4/16 bits), so
+    # the radius must sit above that expectation for good recall
+    approx = {r.vec_id for r in srp_topk(edf, q, k=10, n_planes=16,
+                                         max_hamming=8).collect()}
+    assert len(exact & approx) >= 8
+
+
+def test_pairwise_near_neighbors_finds_planted_duplicate(spark, edf):
+    rows = edf.limit(20).collect()
+    planted = [(int(r.vec_id), list(r.embedding)) for r in rows]
+    dup_id = 999_999
+    planted.append((dup_id, list(rows[3].embedding)))
+    df = spark.createDataFrame(planted, "vec_id long, embedding array<float>")
+    got = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in pairwise_near_neighbors(df, threshold=0.999).collect()
+    }
+    assert (int(rows[3].vec_id), dup_id) in got
+    assert abs(got[(int(rows[3].vec_id), dup_id)] - 1.0) < 1e-5

@@ -1,0 +1,70 @@
+"""Mirror of the driver's correctness gate: every registry query runs
+on Spark AND its oracle SQL on DuckDB over the same sf0.01 parquet;
+row counts, column names, and order-insensitive values must match."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from biosample_enricher_spark.queries import ORACLES, QUERIES
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return c
+
+
+def _canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.9g}"
+    return v
+
+
+def _rows_to_multiset(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        tuple(_canon(r[i]) for i in idx) for r in rows
+    )
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, con, name):
+    got_df = QUERIES[name](spark, SF_DIR)
+    got_cols = got_df.columns
+    got = [tuple(r) for r in got_df.collect()]
+
+    res = con.execute(ORACLES[name])
+    exp_cols = [d[0] for d in res.description]
+    exp = res.fetchall()
+
+    assert sorted(got_cols) == sorted(exp_cols), f"{name}: column names differ"
+    assert len(got) == len(exp), f"{name}: row count {len(got)} != {len(exp)}"
+    g = _rows_to_multiset(got_cols, got)
+    e = _rows_to_multiset(exp_cols, exp)
+    mismatches = [(a, b) for a, b in zip(g, e) if a != b][:5]
+    assert g == e, f"{name}: first value mismatches: {mismatches}"
+
+
+@pytest.mark.parametrize(
+    "name", sorted(set(QUERIES) - set(ORACLES))
+)
+def test_rows_only_queries_run(spark, name):
+    df = QUERIES[name](spark, "/root/testdata/sf0.001")
+    assert df.count() >= 0
+    assert len(df.columns) > 0

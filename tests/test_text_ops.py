@@ -1,0 +1,81 @@
+"""Text-analysis operators vs plain-Python recomputation, run over the
+driver-provided documents table (sf0.001)."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from biosample_enricher_spark.operators.text import (
+    EN_MARKERS,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+def test_token_count_matches_python(spark, docs):
+    got = {
+        r.doc_id: r.n
+        for r in docs.select("doc_id", token_count(F.col("text")).alias("n")).collect()
+    }
+    for row in docs.collect():
+        t = (row.text or "").strip()
+        expected = 0 if not t else len(re.split(r"\s+", t))
+        assert got[row.doc_id] == expected, row.doc_id
+
+
+def test_fingerprint_matches_python_and_dedups(spark, docs):
+    got = {
+        r.doc_id: r.fp
+        for r in docs.select("doc_id", fingerprint(F.col("text")).alias("fp")).collect()
+    }
+    for row in docs.collect():
+        canon = re.sub(r"\s+", " ", (row.text or "").lower()).strip()
+        assert got[row.doc_id] == hashlib.md5(canon.encode()).hexdigest()
+
+
+def test_lang_id_mostly_agrees_with_label(spark, docs):
+    scored = docs.select("lang", lang_id(F.col("text")).alias("pred"))
+    rows = scored.collect()
+    en_rows = [r for r in rows if r.lang == "en"]
+    if en_rows:
+        acc = sum(r.pred == "en" for r in en_rows) / len(en_rows)
+        assert acc > 0.5, f"en accuracy {acc}"
+    # every prediction is from the closed vocabulary
+    assert {r.pred for r in rows} <= {"en", "de", "fr", "es", "und"}
+
+
+def test_quality_score_bounded_and_monotone_on_length(spark, docs):
+    scores = [
+        r.q for r in docs.select(quality_score(F.col("text")).alias("q")).collect()
+    ]
+    assert all(0.0 <= s <= 1.0 for s in scores)
+    tiny = spark.createDataFrame([("a b",), ("word " * 200,)], ["text"])
+    lo, hi = [
+        r.q for r in tiny.select(quality_score(F.col("text")).alias("q")).collect()
+    ]
+    assert hi > lo
+
+
+def test_en_marker_counting_matches_python(spark):
+    text = "The cat and the dog went to the park and that was fun"
+    df = spark.createDataFrame([(text,)], ["text"])
+    from biosample_enricher_spark.operators.text import marker_hits
+
+    got = df.select(marker_hits(F.col("text"), EN_MARKERS).alias("n")).first().n
+    expected = len(
+        re.findall(r"\b(" + "|".join(EN_MARKERS) + r")\b", text.lower())
+    )
+    assert got == expected == 8
