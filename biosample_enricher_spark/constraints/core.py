@@ -97,8 +97,9 @@ class ConstraintSuite:
             F.col("v.message").alias("message"),
         )
 
-    def uniqueness_violations(self, docs_p: DataFrame) -> DataFrame:
-        """Salted two-stage duplicate detection on ``doc_id``.
+    def duplicate_keys(self, docs_p: DataFrame) -> DataFrame:
+        """Salted two-stage duplicate detection on ``doc_id`` →
+        ``(doc_id, n)`` with n > 1.
 
         Stage 1 groups by (salt, doc_id) where the salt is derived from
         the physical input partition — an explicit map-side pre-count, so
@@ -115,11 +116,16 @@ class ConstraintSuite:
             .groupBy("_salt", "doc_id")
             .agg(F.count(F.lit(1)).alias("_partial"))
         )
-        dups = (
+        return (
             stage1.groupBy("doc_id")
             .agg(F.sum("_partial").alias("n"))
             .where(F.col("n") > 1)
         )
+
+    def uniqueness_violations(self, docs_p: DataFrame) -> DataFrame:
+        return self.uniqueness_violations_from(self.duplicate_keys(docs_p))
+
+    def uniqueness_violations_from(self, dups: DataFrame) -> DataFrame:
         return dups.select(
             stable_partition_id(F.col("doc_id"), self.n_buckets).alias("partition_id"),
             "doc_id",
@@ -141,11 +147,21 @@ class ConstraintSuite:
         ``$in`` membership lookups
         (``/root/reference/biosample_enricher/adapters.py:610-640``).
         """
+        # Project the two needed struct fields as parallel arrays BEFORE
+        # exploding: GetArrayStructFields is nested-pruning-friendly, so
+        # the parquet scan reads only spans.kind + spans.media_ref —
+        # posexplode(spans) directly would drag the text payloads
+        # through the scan (verified in tests/test_plans.py).
         media = (
             docs_p.select(
                 "partition_id",
                 "doc_id",
-                F.posexplode("spans").alias("pos", "s"),
+                F.posexplode(
+                    F.arrays_zip(
+                        F.col("spans.kind").alias("kind"),
+                        F.col("spans.media_ref").alias("media_ref"),
+                    )
+                ).alias("pos", "s"),
             )
             .where(F.col("s.kind").isin(*MEDIA_KINDS) & F.col("s.media_ref").isNotNull())
             .select(
@@ -196,20 +212,52 @@ class ConstraintSuite:
         docs: DataFrame,
         violations: DataFrame,
         with_referential: bool,
+        dups: DataFrame | None = None,
     ) -> DataFrame:
         """Per-(constraint, partition) pass/fail summary.
 
         ``total`` counts distinct documents in the partition (the unit
         of validation is the document; duplicate doc_ids are one
-        logical document). ``failed`` counts distinct documents with at
-        least one violation of the constraint. Shape follows the
-        reference's validation_summary
-        (``synthetic_validation_demo.py:96-113``).
+        logical document; doc_id is assumed non-null per the input
+        contract). ``failed`` counts distinct documents with at least
+        one violation of the constraint. Shape follows the reference's
+        validation_summary (``synthetic_validation_demo.py:96-113``).
+
+        Scale note: when the uniqueness stage's duplicate keys are
+        available (``dups``), the distinct count per partition is
+        derived as ``count(*) − Σ(n−1)`` over the (tiny) duplicate set
+        — a map-side-combined row count instead of a corpus-wide
+        distinct hash aggregation (which would build per-task hash
+        tables of every doc_id and spill at scale).
         """
         docs_p = self.with_partition_id(docs)
-        totals = docs_p.groupBy("partition_id").agg(
-            F.countDistinct("doc_id").alias("total")
-        )
+        if dups is not None:
+            row_counts = docs_p.groupBy("partition_id").agg(
+                F.count(F.lit(1)).alias("_n_rows")
+            )
+            extra = (
+                dups.select(
+                    stable_partition_id(F.col("doc_id"), self.n_buckets).alias(
+                        "partition_id"
+                    ),
+                    (F.col("n") - 1).alias("_extra"),
+                )
+                .groupBy("partition_id")
+                .agg(F.sum("_extra").alias("_extra"))
+            )
+            totals = (
+                row_counts.join(F.broadcast(extra), "partition_id", "left")
+                .select(
+                    "partition_id",
+                    (
+                        F.col("_n_rows") - F.coalesce(F.col("_extra"), F.lit(0))
+                    ).alias("total"),
+                )
+            )
+        else:
+            totals = docs_p.groupBy("partition_id").agg(
+                F.countDistinct("doc_id").alias("total")
+            )
         # constraint × partition grid via a literal-array explode — pure
         # JVM; a local createDataFrame here would pay Python-runner
         # startup (~seconds) for a 7-row dimension
@@ -252,8 +300,20 @@ class ConstraintSuite:
         recomputing the row-constraint scan — violations are tiny
         relative to the corpus (call ``SuiteResult.unpersist()`` when
         done)."""
-        viols = self.violations(docs, asset_catalog)
+        docs_p = self.with_partition_id(docs)
+        dups = None
+        out = self.row_violations(docs_p)
+        if self.check_uniqueness:
+            # duplicate keys are tiny (violations only); persisting them
+            # lets both the violation rows and the summary's
+            # distinct-doc totals reuse one salted aggregation
+            dups = self.duplicate_keys(docs_p)
+            if materialize:
+                dups = dups.persist()
+            out = out.unionByName(self.uniqueness_violations_from(dups))
+        if asset_catalog is not None:
+            out = out.unionByName(self.referential_violations(docs_p, asset_catalog))
         if materialize:
-            viols = viols.persist()
-        summary = self.summarize(docs, viols, asset_catalog is not None)
-        return SuiteResult(violations=viols, summary=summary)
+            out = out.persist()
+        summary = self.summarize(docs, out, asset_catalog is not None, dups=dups)
+        return SuiteResult(violations=out, summary=summary)

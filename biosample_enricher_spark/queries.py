@@ -785,3 +785,329 @@ def ann_srp_topk(spark, sf_dir):
     )
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     return S.srp_topk(emb, list(qvec), k=10, n_planes=16, max_hamming=8)
+
+
+# =====================================================================
+# coverage batch 2: sampling, JSON, lookup joins, merges, global sort,
+# set ops, string round-trips, hashing, multi-accumulator, cube
+# =====================================================================
+
+@q(
+    "s3_deterministic_sample",
+    "SELECT doc_id, source FROM documents WHERE doc_id % 20 = 0",
+)
+def s3_deterministic_sample(spark, sf_dir):
+    """S3/S4: sampling pushed into the scan (adapters.py:748-784).
+    True random sampling (df.sample) is nondeterministic across
+    engines, so the oracle-checked variant uses a modulo slice; the
+    engine's production path is TABLESAMPLE."""
+    return (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 20 == 0)
+        .select("doc_id", "source")
+    )
+
+
+@q(
+    "s7_json_extraction",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k
+    FROM events WHERE props IS NOT NULL
+    """,
+)
+def s7_json_extraction(spark, sf_dir):
+    """S7/F-json: JSON payload parsing (adapters.py:1085-1106)."""
+    return (
+        t(spark, sf_dir, "events")
+        .where(F.col("props").isNotNull())
+        .select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+    )
+
+
+@q(
+    "j1_lookup_collect",
+    """
+    SELECT o.o_orderpriority,
+           array_to_string(list_sort(list(DISTINCT l.l_returnflag)), ',') AS flags,
+           count(*) AS n
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def j1_lookup_collect(spark, sf_dir):
+    """J1: foreign-collection lookup join + collect_set dedup
+    (adapters.py:610-640 studyGoldId collection)."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("l_returnflag")), ",").alias(
+                "flags"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@q(
+    "j6_additive_merge",
+    """
+    WITH before AS (
+      SELECT event_type, count(*) AS n_before FROM events
+      WHERE value < 50 GROUP BY event_type
+    ), after AS (
+      SELECT event_type, count(*) AS n_after FROM events
+      WHERE value >= 50 GROUP BY event_type
+    )
+    SELECT coalesce(b.event_type, a.event_type) AS event_type,
+           coalesce(b.n_before, 0) AS n_before,
+           coalesce(a.n_after, 0) AS n_after
+    FROM before b FULL OUTER JOIN after a ON b.event_type = a.event_type
+    """,
+)
+def j6_additive_merge(spark, sf_dir):
+    """J6: additive-only merge via full-outer join + coalesce
+    (evaluator.py:303-312)."""
+    e = t(spark, sf_dir, "events")
+    before = (
+        e.where(F.col("value") < 50)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_before"))
+    )
+    after = (
+        e.where(F.col("value") >= 50)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_after"))
+    )
+    b, a = before.alias("b"), after.alias("a")
+    return b.join(a, F.col("b.event_type") == F.col("a.event_type"), "full_outer").select(
+        F.coalesce(F.col("b.event_type"), F.col("a.event_type")).alias("event_type"),
+        F.coalesce(F.col("b.n_before"), F.lit(0)).alias("n_before"),
+        F.coalesce(F.col("a.n_after"), F.lit(0)).alias("n_after"),
+    )
+
+
+@q(
+    "o1_global_topn",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+)
+def o1_global_topn(spark, sf_dir):
+    """O1/O4: global ordered top-N — Spark plans TakeOrderedAndProject
+    (per-partition heaps + driver merge), not a full sort."""
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+@q(
+    "u3_array_except_agg",
+    """
+    SELECT source,
+           array_to_string(list_sort(list(DISTINCT lang)
+             FILTER (WHERE lang <> 'en' AND lang IS NOT NULL)), ',') AS other_langs
+    FROM documents GROUP BY source
+    """,
+)
+def u3_array_except_agg(spark, sf_dir):
+    """U3: set-minus semantics — remove the primary id from secondary
+    lists (adapters.py:327-338)."""
+    return (
+        t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.array_except(
+                        F.collect_set("lang"), F.array(F.lit("en"))
+                    )
+                ),
+                ",",
+            ).alias("other_langs")
+        )
+    )
+
+
+@q(
+    "f17_format_and_parse",
+    """
+    SELECT n_nationkey,
+           printf('%s: %s', r_name, n_name) AS geo_loc,
+           split_part(printf('%s: %s', r_name, n_name), ': ', 1) AS parsed_region,
+           split_part(printf('%s: %s', r_name, n_name), ': ', 2) AS parsed_nation
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def f17_format_and_parse(spark, sf_dir):
+    """F17/F18: geo_loc_name format + parse round-trip
+    (evaluator.py:462-504, 348-460)."""
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    geo = F.format_string("%s: %s", F.col("r_name"), F.col("n_name"))
+    return n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey",
+        geo.alias("geo_loc"),
+        F.split(geo, ": ").getItem(0).alias("parsed_region"),
+        F.split(geo, ": ").getItem(1).alias("parsed_nation"),
+    )
+
+
+@q(
+    "f19_to_json",
+    """
+    SELECT doc_id,
+           CAST(to_json(struct_pack(doc_id := doc_id, lang := lang)) AS VARCHAR)
+             AS payload
+    FROM documents WHERE lang IS NOT NULL
+    """,
+)
+def f19_to_json(spark, sf_dir):
+    """F19: canonical JSON serialization (schema_statistics.py:91)."""
+    return (
+        t(spark, sf_dir, "documents")
+        .where(F.col("lang").isNotNull())
+        .select(
+            "doc_id",
+            F.to_json(F.struct(F.col("doc_id"), F.col("lang"))).alias("payload"),
+        )
+    )
+
+
+@q(
+    "f20_sha256",
+    """
+    SELECT doc_id, sha256(text) AS digest
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
+def f20_sha256(spark, sf_dir):
+    """F20/F21: deterministic content hashing (elevation/service.py:
+    388-391, 443-446)."""
+    return (
+        t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", F.sha2(F.col("text"), 256).alias("digest"))
+    )
+
+
+@q(
+    "a14_multi_accumulator",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_extendedprice), 6) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def a14_multi_accumulator(spark, sf_dir):
+    """A14: many accumulators in one pass (schema_statistics.py:118-123)
+    — expressed as the classic pricing-summary aggregation; partial
+    aggregation (map-side combine) is automatic."""
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= "1998-09-02")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@q(
+    "a15_cube",
+    """
+    SELECT source, lang, count(*) AS n
+    FROM documents GROUP BY CUBE (source, lang)
+    """,
+)
+def a15_cube(spark, sf_dir):
+    """Grouping sets: the reference assembles its source×type matrix
+    with nested loops (reporter.py:57,459); one CUBE replaces it."""
+    return (
+        t(spark, sf_dir, "documents")
+        .cube("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q(
+    "w2_priority_rank",
+    """
+    SELECT user_id, event_id AS best_event FROM (
+      SELECT user_id, event_id,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY CASE event_type WHEN 'purchase' THEN 1
+                                        WHEN 'signup' THEN 2
+                                        WHEN 'click' THEN 3
+                                        WHEN 'view' THEN 4
+                                        ELSE 5 END,
+                        event_id) AS rk
+      FROM events
+    ) WHERE rk = 1
+    """,
+)
+def w2_priority_rank(spark, sf_dir):
+    """W2: quality-ranked selection via an explicit priority mapping
+    (weather/service.py:256-296 temporal-quality ordering)."""
+    rank = (
+        F.when(F.col("event_type") == "purchase", 1)
+        .when(F.col("event_type") == "signup", 2)
+        .when(F.col("event_type") == "click", 3)
+        .when(F.col("event_type") == "view", 4)
+        .otherwise(5)
+    )
+    w = W.partitionBy("user_id").orderBy(rank, F.col("event_id"))
+    return (
+        t(spark, sf_dir, "events")
+        .select("user_id", "event_id", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") == 1)
+        .select("user_id", F.col("event_id").alias("best_event"))
+    )
+
+
+@q(
+    "f13_decimal_precision",
+    """
+    SELECT event_id,
+           length(regexp_replace(printf('%.4f', value), '0+$', '')) -
+             position('.' IN printf('%.4f', value)) AS n_decimals
+    FROM events WHERE value IS NOT NULL
+    """,
+)
+def f13_decimal_precision(spark, sf_dir):
+    """F13: decimal-place counting = coordinate-precision scoring
+    (adapters.py:355-368), on a canonical fixed-point rendering."""
+    s = F.format_string("%.4f", F.col("value"))
+    trimmed = F.regexp_replace(s, "0+$", "")
+    return (
+        t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            (F.length(trimmed) - F.instr(s, ".")).alias("n_decimals"),
+        )
+    )

@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""spark-submit entry point: run the constraint suite over a documents
+table with checkpointed, partition-granular resume.
+
+Deployment (north_rule posture)::
+
+    # package the engine once
+    cd /root/repo && zip -r /tmp/engine.zip biosample_enricher_spark
+
+    spark-submit --py-files /tmp/engine.zip jobs/validate.py \\
+        --input  <path or iceberg table of documents(doc_id, spans)> \\
+        --catalog <path of asset_catalog(media_ref, ...)> \\
+        --checkpoint <checkpoint table path> \\
+        --violations-out <violations output path> \\
+        --run-id <stable id for resume> \\
+        [--n-buckets 64] [--arrow-udf] [--baseline <path>]
+
+On a cluster, --master/--num-executors come from spark-submit; in the
+sandbox the same script runs under local[N]. Re-running with the same
+--run-id resumes: completed partitions are anti-joined away.
+
+With --baseline, drift constraints (two-sample KS over span-length and
+kind-frequency histograms) run against the baseline corpus and are
+appended to the summary output.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def parse_args(argv: list[str]) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input",
+                   help="documents table path (required unless --synthesize)")
+    p.add_argument("--catalog")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--violations-out")
+    p.add_argument("--run-id", required=True)
+    p.add_argument("--n-buckets", type=int, default=64)
+    p.add_argument("--arrow-udf", action="store_true",
+                   help="use the Arrow UDF row path instead of the "
+                        "Column-expression fold")
+    p.add_argument("--baseline",
+                   help="baseline documents path for drift constraints")
+    p.add_argument("--synthesize", type=int, metavar="N_DOCS",
+                   help="ignore --input path contents and synthesize N "
+                        "documents deterministically (demo/bench mode)")
+    args = p.parse_args(argv)
+    if not args.input and not args.synthesize:
+        p.error("one of --input or --synthesize is required")
+    return args
+
+
+def main(argv: list[str]) -> None:
+    args = parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from biosample_enricher_spark.checkpoint import ResumableRun
+    from biosample_enricher_spark.constraints import ConstraintSuite
+    from biosample_enricher_spark.operators.drift import drift_check
+    from biosample_enricher_spark.synth import GenParams, gen_documents
+
+    # under spark-submit the session/master is provided by the launcher
+    spark = SparkSession.builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.synthesize:
+        docs = gen_documents(spark, args.synthesize, GenParams(seed=42))
+    else:
+        docs = spark.read.parquet(args.input)
+    catalog = spark.read.parquet(args.catalog) if args.catalog else None
+
+    suite = ConstraintSuite(n_buckets=args.n_buckets,
+                            use_arrow_udf=args.arrow_udf)
+    run = ResumableRun(spark, args.checkpoint, run_id=args.run_id, suite=suite)
+
+    t0 = time.perf_counter()
+    summary = run.run(docs, catalog, violations_path=args.violations_out)
+    rows = summary.collect()
+    elapsed = time.perf_counter() - t0
+
+    n_total = sum(r.total for r in rows if r.constraint_id == "kind_vocabulary")
+    report = {
+        "run_id": args.run_id,
+        "partitions_processed": len({r.partition_id for r in rows}),
+        "docs_processed": n_total,
+        "elapsed_sec": round(elapsed, 3),
+        "docs_per_sec": round(n_total / elapsed, 1) if elapsed > 0 else None,
+        "constraints": sorted({r.constraint_id for r in rows}),
+    }
+
+    if args.baseline:
+        base = spark.read.parquet(args.baseline)
+        drift_rows = drift_check(base, docs).collect()
+        report["drift"] = [
+            {
+                "constraint_id": r.constraint_id,
+                "ks_stat": r.ks_stat,
+                "d_crit": r.d_crit,
+                "passed": r.passed,
+            }
+            for r in drift_rows
+        ]
+
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -29,11 +29,13 @@ def con():
 
 
 def _canon(v):
+    if v is None:
+        return "\x00<null>"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         return f"{v:.9g}"
-    return v
+    return str(v)
 
 
 def _rows_to_multiset(cols, rows):

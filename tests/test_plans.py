@@ -1,0 +1,100 @@
+"""Physical-plan assertions: the optimizations SURVEY.md §4 relies on
+must actually appear in the executed plans (pushdown, pruning,
+broadcast strategies, top-K without global sort, no Python in JVM-only
+paths)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from biosample_enricher_spark.constraints import ConstraintSuite
+from biosample_enricher_spark.queries import QUERIES
+from biosample_enricher_spark.synth import GenParams, gen_asset_catalog, gen_documents
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def final_plan(df) -> str:
+    """Executed (post-AQE) plan: materialize first so isFinalPlan=true
+    and codegen stages are visible."""
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    df = QUERIES["s1_scan_filter_project"](spark, SF)
+    p = plan(df)
+    assert "PushedFilters:" in p and "l_shipdate" in p.split("PushedFilters:")[1][:200]
+    # projection pruned to the 5 referenced columns at the scan
+    read_schema = p.split("ReadSchema:")[1][:300]
+    assert "l_extendedprice" not in read_schema
+    assert "l_orderkey" in read_schema
+
+
+def test_dimension_joins_are_broadcast(spark):
+    p = plan(QUERIES["a10_region_rollup"](spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_referential_is_broadcast_left_anti(spark):
+    docs = gen_documents(spark, 200, GenParams(seed=1))
+    cat = gen_asset_catalog(spark, GenParams(seed=1))
+    suite = ConstraintSuite()
+    p = plan(suite.referential_violations(suite.with_partition_id(docs), cat))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+
+
+def test_global_topn_avoids_full_sort(spark):
+    p = plan(QUERIES["o1_global_topn"](spark, SF))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_expr_path_has_no_python(spark):
+    docs = gen_documents(spark, 200, GenParams(seed=1))
+    suite = ConstraintSuite(use_arrow_udf=False)
+    p = plan(suite.row_violations(suite.with_partition_id(docs)))
+    assert "EvalPython" not in p  # neither BatchEvalPython nor ArrowEvalPython
+
+
+def test_udf_path_uses_arrow_not_pickle(spark):
+    docs = gen_documents(spark, 200, GenParams(seed=1))
+    suite = ConstraintSuite(use_arrow_udf=True)
+    p = plan(suite.row_violations(suite.with_partition_id(docs)))
+    assert "ArrowEvalPython" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_nested_field_pruning_for_referential(spark):
+    """The referential probe must not read span text payloads — only
+    kind/media_ref reach the scan after nested-schema pruning."""
+    docs_path = "/tmp/plans_docs_parquet"
+    gen_documents(spark, 300, GenParams(seed=2)).write.mode("overwrite").parquet(
+        docs_path
+    )
+    docs = spark.read.parquet(docs_path)
+    cat = gen_asset_catalog(spark, GenParams(seed=2))
+    suite = ConstraintSuite()
+    p = plan(suite.referential_violations(suite.with_partition_id(docs), cat))
+    read_schema = p.split("ReadSchema:")[1][:400]
+    assert "media_ref" in read_schema and "kind" in read_schema
+    assert "text" not in read_schema
+
+
+def test_whole_stage_codegen_covers_scan_queries(spark):
+    """Codegen stages appear as `*(n)` markers in the final plan; the
+    aggregation must also do a map-side partial pass."""
+    import re
+
+    p = final_plan(QUERIES["a14_multi_accumulator"](spark, SF))
+    assert re.search(r"\*\(\d+\) HashAggregate", p)
+    assert "partial_sum" in p  # map-side combine before the shuffle
