@@ -1,0 +1,128 @@
+"""Schema profiler: per-field-path coverage, type histogram, and
+example values over an arbitrary (possibly nested) DataFrame.
+
+Spark re-expression of the reference's Compass-like field statistics
+(``/root/reference/biosample_enricher/schema_statistics.py:68-153``):
+the reference walks every document recursively, accumulating per-path
+``{docs_with_field, types Counter, examples, array_elem_types}``; here
+the schema is static, so the path set is derived from ``df.schema`` and
+all paths are profiled in ONE wide aggregation (plus one aggregation
+per array-of-struct branch over its exploded elements). Runtime type
+histograms collapse to {declared type, null} — heterogeneous typing is
+impossible in a typed table, which is itself the first schema
+guarantee the engine enforces.
+
+Output (mirrors the reference's CSV columns,
+``schema_statistics.py:125-153``)::
+
+    field_path | coverage_pct | present_docs | total_docs | dtype | examples
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _leaf_paths(schema: T.StructType, prefix: str = "") -> list[tuple[str, T.DataType]]:
+    out: list[tuple[str, T.DataType]] = []
+    for field in schema.fields:
+        path = f"{prefix}{field.name}"
+        dt = field.dataType
+        if isinstance(dt, T.StructType):
+            out.extend(_leaf_paths(dt, prefix=f"{path}."))
+        else:
+            out.append((path, dt))
+    return out
+
+
+def _examples_expr(col: Column, k: int) -> Column:
+    return F.slice(
+        F.array_sort(F.collect_set(col.cast("string"))), 1, k
+    )
+
+
+def _profile_frame(
+    df: DataFrame,
+    paths: list[tuple[str, T.DataType]],
+    total: Column,
+    k: int,
+    path_prefix: str = "",
+) -> DataFrame:
+    aggs: list[Column] = [F.count(F.lit(1)).alias("_total")]
+    for i, (path, _) in enumerate(paths):
+        c = F.col(path)
+        aggs.append(F.count(c).alias(f"_present_{i}"))
+        aggs.append(_examples_expr(c, k).alias(f"_examples_{i}"))
+    wide = df.agg(*aggs)
+
+    rows = []
+    for i, (path, dt) in enumerate(paths):
+        rows.append(
+            F.struct(
+                F.lit(path_prefix + path).alias("field_path"),
+                F.lit(dt.simpleString()).alias("dtype"),
+                F.col(f"_present_{i}").alias("present_docs"),
+                F.col("_total").alias("total_docs"),
+                F.col(f"_examples_{i}").alias("examples"),
+            )
+        )
+    return wide.select(F.explode(F.array(*rows)).alias("r")).select(
+        "r.field_path",
+        F.round(F.col("r.present_docs") / F.col("r.total_docs") * 100, 4).alias(
+            "coverage_pct"
+        ),
+        "r.present_docs",
+        "r.total_docs",
+        "r.dtype",
+        "r.examples",
+    )
+
+
+def schema_profile(df: DataFrame, max_examples: int = 3) -> DataFrame:
+    """Profile every leaf path; array-of-struct branches are profiled
+    over their exploded elements with ``path[].`` prefixes (the
+    reference's array_elem_types analog,
+    ``schema_statistics.py:99-103``)."""
+    top_paths: list[tuple[str, T.DataType]] = []
+    frames: list[DataFrame] = []
+
+    for path, dt in _leaf_paths(df.schema):
+        top_paths.append((path, dt))
+
+    frames.append(
+        _profile_frame(df, top_paths, F.count(F.lit(1)), max_examples)
+    )
+
+    # array-of-struct branches: one exploded profile per branch
+    def array_branches(schema: T.StructType, prefix: str = ""):
+        for field in schema.fields:
+            path = f"{prefix}{field.name}"
+            dt = field.dataType
+            if isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.StructType):
+                yield path, dt.elementType
+            elif isinstance(dt, T.StructType):
+                yield from array_branches(dt, prefix=f"{path}.")
+
+    for path, elem_schema in array_branches(df.schema):
+        elems = df.select(F.explode(path).alias("_e"))
+        sub_paths = [
+            (f"_e.{p}", dt) for p, dt in _leaf_paths(elem_schema)
+        ]
+        frame = _profile_frame(
+            elems, sub_paths, F.count(F.lit(1)), max_examples
+        )
+        frame = frame.withColumn(
+            "field_path",
+            F.concat(
+                F.lit(f"{path}[]."),
+                F.expr("substring(field_path, 4)"),
+            ),
+        )
+        frames.append(frame)
+
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("field_path")

@@ -1111,3 +1111,59 @@ def f13_decimal_precision(spark, sf_dir):
             (F.length(trimmed) - F.instr(s, ".")).alias("n_decimals"),
         )
     )
+
+
+@q(
+    "dsl_validation_verdicts",
+    """
+    SELECT event_id AS row_id,
+           ((CASE WHEN value IS NOT NULL AND (value < 0 OR value > 100)
+                  THEN 1 ELSE 0 END)
+            + (CASE WHEN event_type IS NOT NULL AND event_type NOT IN
+                    ('click','view','purchase','signup','error')
+                    THEN 1 ELSE 0 END)
+            + (CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)) = 0 AS valid,
+           ((CASE WHEN value IS NOT NULL AND (value < 0 OR value > 100)
+                  THEN 1 ELSE 0 END)
+            + (CASE WHEN event_type IS NOT NULL AND event_type NOT IN
+                    ('click','view','purchase','signup','error')
+                    THEN 1 ELSE 0 END)
+            + (CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)) AS n_violations
+    FROM events
+    """,
+)
+def dsl_validation_verdicts(spark, sf_dir):
+    """Declarative row-constraint DSL over a driver table: pydantic-
+    style Field rules (range/enum/not-null, models.py:15-134) compiled
+    to one wide projection; per-row verdicts as in
+    synthetic_validation_demo.py:69-94."""
+    from .constraints.dsl import RowSuite, enum_rule, not_null_rule, range_rule
+
+    suite = RowSuite(
+        (
+            range_rule("value", ge=0, le=100),
+            enum_rule(
+                "event_type", ("click", "view", "purchase", "signup", "error")
+            ),
+            not_null_rule("user_id"),
+        )
+    )
+    return suite.verdicts(t(spark, sf_dir, "events"), "event_id")
+
+
+@q("schema_profile_documents")  # rows-only: output shape is engine-specific
+def schema_profile_documents(spark, sf_dir):
+    """Schema profiler over the documents table (reference flagship,
+    schema_statistics.py:68-153): per-path coverage + examples in one
+    wide aggregation."""
+    from .operators.profile import schema_profile
+
+    return schema_profile(t(spark, sf_dir, "documents"))
+
+
+@q("s3_tablesample")  # rows-only: sampling is nondeterministic by design
+def s3_tablesample(spark, sf_dir):
+    """S3: true random sample pushed into the scan (adapters.py:748-758
+    $sample) — production path; the deterministic oracle-checked slice
+    is s3_deterministic_sample."""
+    return t(spark, sf_dir, "documents").sample(fraction=0.1, seed=42)
