@@ -1167,3 +1167,113 @@ def s3_tablesample(spark, sf_dir):
     $sample) — production path; the deterministic oracle-checked slice
     is s3_deterministic_sample."""
     return t(spark, sf_dir, "documents").sample(fraction=0.1, seed=42)
+
+
+@q(
+    "p1_normalizing_projection",
+    """
+    SELECT doc_id AS sample_id,
+           coalesce(nullif(trim(lang), ''), 'und') AS lang_norm,
+           upper(source) AS database_source,
+           CASE WHEN n_chars >= 1000 THEN 'long'
+                WHEN n_chars >= 200 THEN 'medium'
+                ELSE 'short' END AS size_class,
+           CASE WHEN text IS NOT NULL AND length(trim(text)) > 0
+                THEN 1 ELSE 0 END
+             + CASE WHEN lang IS NOT NULL THEN 1 ELSE 0 END
+             + CASE WHEN source IS NOT NULL THEN 1 ELSE 0 END AS completeness_3,
+           text IS NOT NULL AND n_chars BETWEEN 1 AND 100000 AS is_processable
+    FROM documents
+    """,
+)
+def p1_normalizing_projection(spark, sf_dir):
+    """P1: raw doc → normalized flat record in one select of derived
+    columns (the reference's 25-field extract_location,
+    adapters.py:42-101, compressed to the driver table's fields) —
+    incl. the completeness score (models.py:86-99) and the
+    enrichability-style predicate (models.py:114-121)."""
+    d = t(spark, sf_dir, "documents")
+    completeness = (
+        (F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)).cast("int")
+        + F.col("lang").isNotNull().cast("int")
+        + F.col("source").isNotNull().cast("int")
+    )
+    return d.select(
+        F.col("doc_id").alias("sample_id"),
+        F.coalesce(F.nullif(F.trim("lang"), F.lit("")), F.lit("und")).alias(
+            "lang_norm"
+        ),
+        F.upper("source").alias("database_source"),
+        F.when(F.col("n_chars") >= 1000, "long")
+        .when(F.col("n_chars") >= 200, "medium")
+        .otherwise("short")
+        .alias("size_class"),
+        completeness.alias("completeness_3"),
+        (F.col("text").isNotNull() & F.col("n_chars").between(1, 100000)).alias(
+            "is_processable"
+        ),
+    )
+
+
+@q(
+    "p2_multiformat_coordinates",
+    """
+    WITH raw AS (
+      SELECT event_id,
+             CASE WHEN event_id % 3 = 0
+                  THEN printf('%.4f,%.4f', CAST((value * 1.8) - 90 AS DOUBLE),
+                              CAST((user_id % 360) - 180 AS DOUBLE))
+                  END AS lat_lon_str,
+             CASE WHEN event_id % 3 = 1 THEN (value * 1.8) - 90 END AS lat_field,
+             CASE WHEN event_id % 3 = 1
+                  THEN (user_id % 360) - 180 END AS lon_field
+      FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+    )
+    SELECT event_id,
+           round(coalesce(
+             TRY_CAST(split_part(lat_lon_str, ',', 1) AS DOUBLE),
+             lat_field), 4) AS lat,
+           round(coalesce(
+             TRY_CAST(split_part(lat_lon_str, ',', 2) AS DOUBLE),
+             lon_field), 4) AS lon
+    FROM raw
+    """,
+)
+def p2_multiformat_coordinates(spark, sf_dir):
+    """P2: multi-format coordinate extraction — parse a "lat,lon"
+    string when present, else fall back to separate numeric fields,
+    with try_cast null semantics for junk (adapters.py:109-147,
+    biosample_elevation_mapper.py:19-87). The two formats are derived
+    deterministically from event columns so the oracle sees the same
+    inputs."""
+    e = t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    lat_v = ((F.col("value") * 1.8) - 90).cast("double")
+    lon_v = ((F.col("user_id") % 360) - 180).cast("double")
+    raw = e.select(
+        "event_id",
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.format_string("%.4f,%.4f", lat_v, lon_v),
+        ).alias("lat_lon_str"),
+        F.when(F.col("event_id") % 3 == 1, lat_v).alias("lat_field"),
+        F.when(F.col("event_id") % 3 == 1, lon_v).alias("lon_field"),
+    )
+    return raw.select(
+        "event_id",
+        F.round(
+            F.coalesce(
+                F.split("lat_lon_str", ",").getItem(0).try_cast("double"),
+                F.col("lat_field"),
+            ),
+            4,
+        ).alias("lat"),
+        F.round(
+            F.coalesce(
+                F.split("lat_lon_str", ",").getItem(1).try_cast("double"),
+                F.col("lon_field"),
+            ),
+            4,
+        ).alias("lon"),
+    )
