@@ -28,7 +28,6 @@ keeps the call sites identical.
 
 from __future__ import annotations
 
-import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -53,28 +52,25 @@ CHECKPOINT_SCHEMA = T.StructType(
 
 
 class CheckpointTable:
-    """Append-only checkpoint table over a parquet path (Iceberg-style
-    surface; see module docstring)."""
+    """Append-only checkpoint table behind the TableIO abstraction:
+    a parquet path in the sandbox, an ``iceberg:<catalog.db.table>``
+    identifier on a cluster (see sources/tableio.py)."""
 
     def __init__(self, spark: SparkSession, path: str) -> None:
+        from .sources import resolve_table_io
+
         self.spark = spark
         self.path = path
+        self._io = resolve_table_io(spark, path, schema=CHECKPOINT_SCHEMA)
 
     def exists(self) -> bool:
-        return os.path.exists(self.path) and any(
-            name.endswith(".parquet") or name.startswith("part-")
-            for name in os.listdir(self.path)
-        )
+        return self._io.exists()
 
     def read(self) -> DataFrame:
-        if not self.exists():
-            return self.spark.createDataFrame([], CHECKPOINT_SCHEMA)
-        return self.spark.read.schema(CHECKPOINT_SCHEMA).parquet(self.path)
+        return self._io.read()
 
     def append(self, rows: DataFrame) -> None:
-        rows.select([f.name for f in CHECKPOINT_SCHEMA.fields]).write.mode(
-            "append"
-        ).parquet(self.path)
+        self._io.append(rows.select([f.name for f in CHECKPOINT_SCHEMA.fields]))
 
     def completed_partitions(self, run_id: str) -> DataFrame:
         """Distinct partition ids fully finished for this run (every
