@@ -29,12 +29,15 @@ def con():
 
 
 def _canon(v):
+    """Full-precision canonicalization — floats compare by exact repr
+    (mirrors a value-hash over raw values; rounding differences between
+    engines must be fixed in the queries, not papered over here)."""
     if v is None:
         return "\x00<null>"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.9g}"
+        return repr(v)
     return str(v)
 
 
