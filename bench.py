@@ -44,6 +44,12 @@ def sf_tag(path: str) -> str:
 
 
 def main() -> None:
+    if not os.path.exists(os.path.join(SF_DIR, "lineitem.parquet")):
+        sys.exit(
+            f"bench: {SF_DIR} has no testdata tables "
+            "(set SPARK_GRAFT_SF_DIR to a /root/testdata/sf* dir)"
+        )
+
     from pyspark.sql import functions as F
 
     from biosample_enricher_spark.constraints import ConstraintSuite
