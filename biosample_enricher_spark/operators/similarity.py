@@ -165,3 +165,101 @@ def pairwise_near_neighbors(
         )
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+# --- IVF (inverted-file) index ------------------------------------------------
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (max cosine).
+
+    The centroid table is tiny and inlined as literal expressions —
+    the assignment is a single codegen'd projection, no join, no
+    shuffle. At ingest this materializes the inverted lists:
+    ``(centroid_id, vec_id, embedding)`` partitioned/sorted by
+    centroid_id so a probe scan prunes to nprobe lists."""
+    best = None
+    for cid, cvec in centroids:
+        q = F.array(*[F.lit(float(v)) for v in cvec])
+        score = F.struct(
+            cosine(F.col(vec_col), q).alias("sim"),
+            F.lit(cid).alias("cid"),
+        )
+        best = score if best is None else F.greatest(best, score)
+    return embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        best["cid"].alias("centroid_id"),
+        F.round(best["sim"], 6).alias("centroid_sim"),
+    )
+
+
+def seed_centroids(
+    embeddings: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic centroid selection: the k vectors with the
+    smallest xxhash64(id, seed) — a seeded uniform sample without RNG
+    state (a full k-means refinement would iterate assign/average;
+    one seeded-sample round is the deterministic baseline)."""
+    rows = (
+        embeddings.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h"),
+        )
+        .orderBy("_h")
+        .limit(k)
+        .collect()
+    )
+    return [(i, list(r._v)) for i, r in enumerate(rows)]
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """IVF approximate top-k: score the query against every centroid
+    (driver-side, tiny), keep the ``nprobe`` nearest lists, scan only
+    vectors assigned to those lists, exact cosine re-rank.
+
+    At scale the assignment is precomputed at ingest and the probe is
+    a partition-pruned scan of nprobe/n_centroids of the data."""
+    centroids = seed_centroids(embeddings, n_centroids, id_col, vec_col, seed)
+
+    def cos_py(a: list[float], b: list[float]) -> float:
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(y * y for y in b) ** 0.5
+        return num / (na * nb) if na and nb else 0.0
+
+    probe_ids = [
+        cid
+        for cid, _ in sorted(
+            centroids, key=lambda c: -cos_py(query_vec, c[1])
+        )[:nprobe]
+    ]
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    cands = assigned.where(F.col("centroid_id").isin(probe_ids))
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        cands.select(
+            F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim")
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )

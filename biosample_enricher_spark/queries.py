@@ -1277,3 +1277,16 @@ def p2_multiformat_coordinates(spark, sf_dir):
             4,
         ).alias("lon"),
     )
+
+
+@q("ann_ivf_topk")  # rows-only: inverted-file probe is engine-specific
+def ann_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k: seeded centroid lists, nprobe-pruned
+    probe, exact cosine re-rank of the candidate lists."""
+    emb = t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    from .operators.similarity import ivf_topk
+
+    return ivf_topk(emb, list(qvec), k=10, n_centroids=16, nprobe=4)
