@@ -87,10 +87,16 @@ def main() -> None:
         res = suite.run(docs, catalog)
         n_viol = res.violations.count()
         res.summary.collect()
-        return time.perf_counter() - t0, n_viol
+        dt = time.perf_counter() - t0
+        res.unpersist()
+        return dt, n_viol
 
+    # cold = first-ever run (codegen compile, broadcast build, Python
+    # worker spin-up for the Arrow path); warm = steady state
     timings["suite"], n_violations = run_suite(False)
+    timings["suite_warm"], _ = run_suite(False)
     timings["suite_arrow"], _ = run_suite(True)
+    timings["suite_arrow_warm"], _ = run_suite(True)
 
     # --- operator-query slice over driver tables ---
     bench_queries = [
@@ -120,8 +126,14 @@ def main() -> None:
         "suite_n_docs": n_materialized,
         "suite_n_violations": n_violations,
         "suite_docs_per_sec": round(n_materialized / timings["suite"], 1),
+        "suite_warm_docs_per_sec": round(
+            n_materialized / timings["suite_warm"], 1
+        ),
         "suite_arrow_docs_per_sec": round(
             n_materialized / timings["suite_arrow"], 1
+        ),
+        "suite_arrow_warm_docs_per_sec": round(
+            n_materialized / timings["suite_arrow_warm"], 1
         ),
         "cpus": int(CPUS),
     }
