@@ -72,13 +72,28 @@ class CheckpointTable:
     def append(self, rows: DataFrame) -> None:
         self._io.append(rows.select([f.name for f in CHECKPOINT_SCHEMA.fields]))
 
-    def completed_partitions(self, run_id: str) -> DataFrame:
-        """Distinct partition ids fully finished for this run (every
-        constraint row present with a terminal non-failed status)."""
-        cp = self.read().where(
-            (F.col("run_id") == run_id) & (F.col("status") != "failed")
+    def completed_partitions(
+        self, run_id: str, n_constraints: int | None = None
+    ) -> DataFrame:
+        """Distinct partition ids fully finished for this run: no
+        ``failed`` row, and (when ``n_constraints`` is given) every
+        active constraint's row present — a partition with a partial
+        or mixed ok/failed write is NOT skipped on resume."""
+        cp = self.read().where(F.col("run_id") == run_id)
+        ok = cp.where(F.col("status") != "failed").select(
+            "partition_id", "constraint_id"
         )
-        return cp.select("partition_id").distinct()
+        if n_constraints is not None:
+            done = (
+                ok.groupBy("partition_id")
+                .agg(F.countDistinct("constraint_id").alias("_n"))
+                .where(F.col("_n") >= n_constraints)
+                .select("partition_id")
+            )
+        else:
+            done = ok.select("partition_id").distinct()
+        bad = cp.where(F.col("status") == "failed").select("partition_id").distinct()
+        return done.join(bad, "partition_id", "left_anti")
 
 
 def checkpoint_rows_from_summary(
@@ -117,10 +132,13 @@ class ResumableRun:
         self.run_id = run_id or uuid.uuid4().hex
         self.suite = suite or ConstraintSuite()
 
-    def pending(self, docs: DataFrame) -> DataFrame:
+    def pending(self, docs: DataFrame, with_referential: bool = False) -> DataFrame:
         """Documents in not-yet-completed partitions (anti-join on the
         broadcast completed-bucket set)."""
-        done = self.table.completed_partitions(self.run_id)
+        done = self.table.completed_partitions(
+            self.run_id,
+            n_constraints=len(self.suite.active_constraints(with_referential)),
+        )
         docs_p = self.suite.with_partition_id(docs)
         return docs_p.join(F.broadcast(done), "partition_id", "left_anti").drop(
             "partition_id"
@@ -135,7 +153,7 @@ class ResumableRun:
         """Validate all pending partitions; append lineage; return the
         summary of the work done in THIS invocation (empty if resumed
         past the end)."""
-        todo = self.pending(docs)
+        todo = self.pending(docs, with_referential=asset_catalog is not None)
         result = self.suite.run(todo, asset_catalog)
         if violations_path is not None:
             result.violations.write.mode("append").parquet(violations_path)
@@ -145,4 +163,8 @@ class ResumableRun:
         # re-evaluation of this summary.
         summary = result.summary.localCheckpoint(eager=True)
         self.table.append(checkpoint_rows_from_summary(summary, self.run_id))
+        # release the suite's persisted blocks (violations + dups) now
+        # that the summary is materialized — repeated/resumed runs in a
+        # long-lived session must not accumulate cached frames
+        result.unpersist()
         return summary

@@ -56,9 +56,11 @@ def stable_partition_id(doc_id: Column, n_buckets: int = N_BUCKETS_DEFAULT) -> C
 class SuiteResult:
     violations: DataFrame  # partition_id, doc_id, constraint_id, field, message
     summary: DataFrame     # constraint_id, partition_id, total, passed, failed, pass_rate
+    persisted: tuple[DataFrame, ...] = ()  # every frame run() persisted
 
     def unpersist(self) -> None:
-        self.violations.unpersist()
+        for df in self.persisted:
+            df.unpersist()
 
 
 class ConstraintSuite:
@@ -302,6 +304,7 @@ class ConstraintSuite:
         done)."""
         docs_p = self.with_partition_id(docs)
         dups = None
+        persisted: list[DataFrame] = []
         out = self.row_violations(docs_p)
         if self.check_uniqueness:
             # duplicate keys are tiny (violations only); persisting them
@@ -310,10 +313,14 @@ class ConstraintSuite:
             dups = self.duplicate_keys(docs_p)
             if materialize:
                 dups = dups.persist()
+                persisted.append(dups)
             out = out.unionByName(self.uniqueness_violations_from(dups))
         if asset_catalog is not None:
             out = out.unionByName(self.referential_violations(docs_p, asset_catalog))
         if materialize:
             out = out.persist()
+            persisted.append(out)
         summary = self.summarize(docs, out, asset_catalog is not None, dups=dups)
-        return SuiteResult(violations=out, summary=summary)
+        return SuiteResult(
+            violations=out, summary=summary, persisted=tuple(persisted)
+        )

@@ -41,8 +41,13 @@ _VIOL_ARRAY_TYPE = (
 def norm_is_null(c: Column) -> Column:
     """True when the string is absent after strip + sentinel folding
     (Spark analog of spec.normalize_text; reference:
-    ``metrics/aligner.py:234-238``, ``models.py:133``)."""
-    return c.isNull() | F.lower(F.trim(c)).isin(*sorted(NULL_SENTINELS))
+    ``metrics/aligner.py:234-238``, ``models.py:133``).
+
+    Strips the Java ``\\s`` class — the exact set the UDF/oracle paths
+    strip via ``spec.STRIP_WHITESPACE`` (F.trim would strip only 0x20,
+    silently diverging on tab/newline-padded sentinels)."""
+    stripped = F.regexp_replace(c, r"^\s+|\s+$", "")
+    return c.isNull() | F.lower(stripped).isin(*sorted(NULL_SENTINELS))
 
 
 def _item(cid: str, field: Column, message: Column) -> Column:

@@ -43,6 +43,7 @@ from ..spec import (
     MSG_TEXT_MISSING,
     MSG_TEXT_ON_MEDIA,
     NULL_SENTINELS,
+    STRIP_WHITESPACE,
     VIOLATION_ITEM_TYPE,
 )
 
@@ -55,8 +56,9 @@ _EMPTY_ROW_ITEM = {
 
 def _norm_null_mask(values: pd.Series) -> np.ndarray:
     """True where the string is absent after strip + sentinel folding
-    (vectorized analog of spec.normalize_text)."""
-    stripped = values.str.strip().str.lower()
+    (vectorized analog of spec.normalize_text; strips the shared
+    spec.STRIP_WHITESPACE class so all three paths agree char-for-char)."""
+    stripped = values.str.strip(STRIP_WHITESPACE).str.lower()
     return values.isna().to_numpy() | stripped.isin(NULL_SENTINELS).to_numpy()
 
 

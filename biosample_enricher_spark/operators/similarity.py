@@ -75,18 +75,20 @@ def _hyperplane(dim: int, plane_idx: int, seed: int = 7) -> list[float]:
 
 def srp_sketch(vec: Column, planes: list[list[float]]) -> Column:
     """Signed-random-projection sketch: bit b = sign(vec · plane_b),
-    packed into a long (≤ 64 planes)."""
+    packed into a long (≤ 64 planes).
+
+    Packed with ``shiftleft`` + bitwise OR so bit 63 (the sign bit) is
+    set JVM-side — a Python literal ``1 << 63`` would overflow
+    LongType at expression construction."""
     assert len(planes) <= 64
-    bits = [
-        F.when(dot(vec, F.array(*[F.lit(float(v)) for v in plane])) > 0, F.lit(1))
-        .otherwise(F.lit(0))
-        .cast("long")
-        * F.lit(1 << b).cast("long")
-        for b, plane in enumerate(planes)
-    ]
     out = F.lit(0).cast("long")
-    for piece in bits:
-        out = out + piece
+    for b, plane in enumerate(planes):
+        bit = (
+            F.when(dot(vec, F.array(*[F.lit(float(v)) for v in plane])) > 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        out = out.bitwiseOR(F.shiftleft(bit, b))
     return out
 
 
@@ -111,6 +113,8 @@ def srp_topk(
         s = sum(float(x) * float(y) for x, y in zip(query_vec, plane))
         if s > 0:
             q_sketch |= 1 << b
+    if q_sketch >= 1 << 63:  # two's-complement so bit 63 fits LongType
+        q_sketch -= 1 << 64
     sk = embeddings.select(
         F.col(id_col),
         F.col(vec_col),

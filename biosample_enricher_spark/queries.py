@@ -915,8 +915,9 @@ def o1_global_topn(spark, sf_dir):
     "u3_array_except_agg",
     """
     SELECT source,
-           array_to_string(list_sort(list(DISTINCT lang)
-             FILTER (WHERE lang <> 'en' AND lang IS NOT NULL)), ',') AS other_langs
+           coalesce(array_to_string(list_sort(list(DISTINCT lang)
+             FILTER (WHERE lang <> 'en' AND lang IS NOT NULL)), ','), '')
+             AS other_langs
     FROM documents GROUP BY source
     """,
 )
@@ -1093,22 +1094,33 @@ def w2_priority_rank(spark, sf_dir):
     "f13_decimal_precision",
     """
     SELECT event_id,
-           length(regexp_replace(printf('%.4f', value), '0+$', '')) -
-             position('.' IN printf('%.4f', value)) AS n_decimals
+           CASE WHEN CAST(floor(abs(value) * 10000) AS BIGINT) % 10000 = 0 THEN 0
+                WHEN CAST(floor(abs(value) * 10000) AS BIGINT) % 1000 = 0 THEN 1
+                WHEN CAST(floor(abs(value) * 10000) AS BIGINT) % 100 = 0 THEN 2
+                WHEN CAST(floor(abs(value) * 10000) AS BIGINT) % 10 = 0 THEN 3
+                ELSE 4 END AS n_decimals
     FROM events WHERE value IS NOT NULL
     """,
 )
 def f13_decimal_precision(spark, sf_dir):
     """F13: decimal-place counting = coordinate-precision scoring
-    (adapters.py:355-368), on a canonical fixed-point rendering."""
-    s = F.format_string("%.4f", F.col("value"))
-    trimmed = F.regexp_replace(s, "0+$", "")
+    (adapters.py:355-368). Derived from the floor-scaled integer rather
+    than a fixed-point rendering: ``%.4f`` rounding is HALF_UP in Java
+    but half-even in DuckDB's printf, so dyadic-rational inputs (e.g.
+    0.03125) would break exact parity; floor on doubles is IEEE-exact
+    in both engines."""
+    i = F.floor(F.abs(F.col("value")) * 10000)
     return (
         t(spark, sf_dir, "events")
         .where(F.col("value").isNotNull())
         .select(
             "event_id",
-            (F.length(trimmed) - F.instr(s, ".")).alias("n_decimals"),
+            F.when(i % 10000 == 0, 0)
+            .when(i % 1000 == 0, 1)
+            .when(i % 100 == 0, 2)
+            .when(i % 10 == 0, 3)
+            .otherwise(4)
+            .alias("n_decimals"),
         )
     )
 
@@ -1221,12 +1233,16 @@ def p1_normalizing_projection(spark, sf_dir):
     WITH raw AS (
       SELECT event_id,
              CASE WHEN event_id % 3 = 0
-                  THEN printf('%.4f,%.4f', CAST((value * 1.8) - 90 AS DOUBLE),
-                              CAST((user_id % 360) - 180 AS DOUBLE))
+                  THEN printf('%.4f,%.4f',
+                              CAST(user_id % 18000 AS DOUBLE) / 100.0 - 90,
+                              CAST(event_id % 36000 AS DOUBLE) / 100.0 - 180)
                   END AS lat_lon_str,
-             CASE WHEN event_id % 3 = 1 THEN (value * 1.8) - 90 END AS lat_field,
              CASE WHEN event_id % 3 = 1
-                  THEN (user_id % 360) - 180 END AS lon_field
+                  THEN CAST(user_id % 18000 AS DOUBLE) / 100.0 - 90
+                  END AS lat_field,
+             CASE WHEN event_id % 3 = 1
+                  THEN CAST(event_id % 36000 AS DOUBLE) / 100.0 - 180
+                  END AS lon_field
       FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
     )
     SELECT event_id,
@@ -1245,12 +1261,14 @@ def p2_multiformat_coordinates(spark, sf_dir):
     with try_cast null semantics for junk (adapters.py:109-147,
     biosample_elevation_mapper.py:19-87). The two formats are derived
     deterministically from event columns so the oracle sees the same
-    inputs."""
+    inputs; coordinates are integer/100 by construction so the
+    ``%.4f`` rendering never hits a rounding-mode-sensitive half-way
+    case (Java HALF_UP vs DuckDB half-even)."""
     e = t(spark, sf_dir, "events").where(
         F.col("value").isNotNull() & F.col("user_id").isNotNull()
     )
-    lat_v = ((F.col("value") * 1.8) - 90).cast("double")
-    lon_v = ((F.col("user_id") % 360) - 180).cast("double")
+    lat_v = (F.col("user_id") % 18000).cast("double") / 100.0 - 90
+    lon_v = (F.col("event_id") % 36000).cast("double") / 100.0 - 180
     raw = e.select(
         "event_id",
         F.when(

@@ -34,6 +34,13 @@ MEDIA_KINDS = ("image", "audio", "table")
 # whitespace stripping at models.py:133.
 NULL_SENTINELS = frozenset({"null", "n/a", "unknown", "none", ""})
 
+# The single whitespace class stripped by ALL three implementations
+# (JVM expression, Arrow UDF, Python oracle). Chosen = Java regex ``\s``
+# ([ \t\n\x0B\f\r]) so the exprs path can use a plain regexp_replace;
+# the Python paths pass this explicit set to str.strip so no path ever
+# strips a character another path keeps (three-way parity contract).
+STRIP_WHITESPACE = " \t\n\x0b\f\r"
+
 # --- constraint ids ---------------------------------------------------------
 
 C_SPANS_NONEMPTY = "spans_nonempty"
@@ -121,7 +128,7 @@ def normalize_text(value: str | None) -> str | None:
     """
     if value is None:
         return None
-    stripped = value.strip()
+    stripped = value.strip(STRIP_WHITESPACE)
     if stripped.lower() in NULL_SENTINELS:
         return None
     return stripped

@@ -17,16 +17,26 @@ KINDS = st.sampled_from(
 )
 TEXTS = st.one_of(
     st.none(),
-    st.sampled_from(["", "   ", "n/a", "N/A", "null", "unknown", "None", "ok text"]),
+    st.sampled_from(
+        [
+            "", "   ", "n/a", "N/A", "null", "unknown", "None", "ok text",
+            # whitespace-padded sentinels: all paths must strip the same
+            # class (spec.STRIP_WHITESPACE) — regression for the F.trim
+            # (0x20-only) divergence
+            "n/a\t", "\nnull ", "\x0bunknown\r", " none\x0c",
+        ]
+    ),
     st.text(
-        alphabet="abc XYZ0é中",  # incl. accents + CJK
+        alphabet="abc XYZ0é中\t\n\r\x0b\x0c",  # incl. accents + CJK + whitespace
         min_size=0,
         max_size=12,
     ),
 )
 REFS = st.one_of(
     st.none(),
-    st.sampled_from(["asset-00000001", "asset-99999999", "n/a", " ", ""]),
+    st.sampled_from(
+        ["asset-00000001", "asset-99999999", "n/a", " ", "", "\tn/a\n", "x\r"]
+    ),
 )
 OFFSETS = st.one_of(
     st.none(), st.integers(min_value=-100, max_value=200)
