@@ -13,20 +13,17 @@ Four tiers, cheapest first:
 4. **SimHash** — 64-bit near-dup signature via per-token hash bit
    voting; Hamming-adjacent buckets for candidates.
 
-Everything is DataFrame ops + one vectorized Arrow UDF (simhash bit
-vote); no per-row Python. At 100 TB the LSH path is the scale path:
+Everything — including the SimHash bit vote — is pure DataFrame
+expressions; zero Python rows cross the JVM boundary. At 100 TB the
+LSH path is the scale path:
 its shuffle volume is #docs × #bands rows of (band_hash), and the
 pair-verify join only touches colliding buckets.
 """
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
-from pyspark.sql.functions import pandas_udf
 
 from .text import fingerprint, normalize_for_fingerprint
 
@@ -65,19 +62,40 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 
 
 def jaccard_candidates(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    df_cap: int | None = 10_000,
 ) -> DataFrame:
     """Near-dup pairs by exact n-gram Jaccard, candidate-pruned via an
     inverted shingle index: only doc pairs sharing ≥1 shingle are
     compared, and |A∩B| is counted by the index join itself — no
     per-pair set intersection. Returns (id_a, id_b, jaccard) with
-    id_a < id_b and jaccard ≥ threshold."""
+    id_a < id_b and jaccard ≥ threshold.
+
+    ``df_cap`` drops shingles whose document frequency exceeds the cap
+    BEFORE the self-join (standard stop-shingle trick): a 3-gram shared
+    by f docs alone contributes f(f−1)/2 candidate rows, so one common
+    phrase at web scale ("and the of") is a quadratic reducer-killer.
+    Capping bounds any shingle's contribution at cap²/2. Recall is
+    unaffected for near-dup pairs sharing at least one sub-cap shingle
+    (near-identical docs share many); the reported jaccard counts only
+    surviving shared shingles, i.e. it is a lower bound, so no false
+    positives are introduced. Pass ``df_cap=None`` to disable.
+    """
     shingled = df.select(
         F.col(id_col).alias("doc_id"),
         word_shingles(F.col(text_col), n).alias("sh"),
     ).where(F.size("sh") > 0)
     sizes = shingled.select("doc_id", F.size("sh").alias("n_sh"))
     index = shingled.select("doc_id", F.explode("sh").alias("shingle"))
+    if df_cap is not None:
+        doc_freq = index.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        index = index.join(
+            doc_freq.where(F.col("_df") <= df_cap), "shingle"
+        ).drop("_df")
     a = index.alias("a")
     b = index.alias("b")
     inter = (
@@ -202,47 +220,58 @@ def minhash_near_duplicates(
 # --- 4. SimHash ---------------------------------------------------------------
 
 
-@pandas_udf(T.LongType())
-def _simhash_from_tokens(tokens: pd.Series) -> pd.Series:
-    """64-bit SimHash from token lists: per-token xxhash-free numpy
-    hashing (stable across runs: hash = md5-low64 of token) with ±1 bit
-    voting, vectorized per batch."""
-    import hashlib
-
-    out = np.zeros(len(tokens), dtype=np.int64)
-    for i, toks in enumerate(tokens):
-        if toks is None or len(toks) == 0:
-            out[i] = 0
-            continue
-        hs = np.fromiter(
-            (
-                int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
-                for t in toks
-            ),
-            dtype=np.uint64,
-            count=len(toks),
-        )
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
-        votes = (2 * bits - 1).sum(axis=0)
-        sig = np.uint64(0)
-        for b in np.flatnonzero(votes > 0):
-            sig |= np.uint64(1) << np.uint64(b)
-        out[i] = np.int64(sig)
-    return pd.Series(out)
-
-
 def simhash(text: Column) -> Column:
-    tokens = F.split(normalize_for_fingerprint(text), " ")
-    return _simhash_from_tokens(tokens)
+    """64-bit SimHash as pure Column expressions — no Python boundary.
+
+    One fold over the token hashes carries a 64-slot vote array
+    (``+1``/``-1`` per bit via ``getbit``); the signature packs the
+    positive votes with ``shiftleft`` + OR (bit 63 = sign bit stays
+    JVM-side, no Python ``1 << 63`` literal). Empty/null docs map to
+    signature 0 — excluded from candidate bucketing (they are exact
+    dups of each other and belong to the exact-dedup tier).
+    """
+    tokens = F.filter(
+        F.split(normalize_for_fingerprint(text), " "), lambda w: w != ""
+    )
+    hashes = F.transform(tokens, lambda w: F.xxhash64(w))
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.transform(acc, lambda v, i: v + F.getbit(h, i) * 2 - 1),
+    )
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        bit = F.when(F.element_at(votes, b + 1) > 0, F.lit(1)).otherwise(
+            F.lit(0)
+        ).cast("long")
+        sig = sig.bitwiseOR(F.shiftleft(bit, b))
+    return F.when(
+        tokens.isNull() | (F.size(tokens) == 0), F.lit(0).cast("long")
+    ).otherwise(sig)
 
 
 def simhash_near_duplicates(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bucket_cap: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming, candidate-
     bucketed on 16-bit signature quarters (a pair within Hamming 3 must
-    agree on ≥1 of 4 quarters — pigeonhole), then verified exactly."""
-    sig = df.select(F.col(id_col).alias("doc_id"), simhash(F.col(text_col)).alias("sig"))
+    agree on ≥1 of 4 quarters — pigeonhole), then verified exactly.
+
+    Skew guards (web-scale posture): sig=0 rows (empty docs) are
+    excluded — they all collide in every quarter and self-join
+    quadratically — and any (quarter, value) bucket holding more than
+    ``bucket_cap`` docs is dropped before the self-join, bounding the
+    candidate blowup of a pathologically common signature at
+    O(buckets × cap²) instead of O(n²). Pairs inside a dropped bucket
+    are still found through any of their other three quarters.
+    """
+    sig = df.select(
+        F.col(id_col).alias("doc_id"), simhash(F.col(text_col)).alias("sig")
+    ).where(F.col("sig") != 0)
     quarters = sig.select(
         "doc_id",
         "sig",
@@ -253,6 +282,12 @@ def simhash_near_duplicates(
             ])
         ).alias("q", "qval"),
     )
+    bucket_sizes = quarters.groupBy("q", "qval").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    quarters = quarters.join(
+        bucket_sizes.where(F.col("_n") <= bucket_cap), ["q", "qval"]
+    ).drop("_n")
     x = quarters.alias("x")
     y = quarters.alias("y")
     cands = (

@@ -98,3 +98,13 @@ def test_whole_stage_codegen_covers_scan_queries(spark):
     p = final_plan(QUERIES["a14_multi_accumulator"](spark, SF))
     assert re.search(r"\*\(\d+\) HashAggregate", p)
     assert "partial_sum" in p  # map-side combine before the shuffle
+
+
+def test_simhash_signature_path_is_jvm_only(spark):
+    """The SimHash bit vote is pure expressions — no Python eval node of
+    any kind in the signature projection (VERDICT r1 anti-pattern #1)."""
+    from biosample_enricher_spark.operators.dedup import simhash
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(docs.select(simhash(F.col("text")).alias("sig")))
+    assert "EvalPython" not in p
