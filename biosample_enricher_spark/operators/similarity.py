@@ -227,6 +227,74 @@ def seed_centroids(
     return [(i, list(r._v)) for i, r in enumerate(rows)]
 
 
+def _nearest_centroid_ids(
+    centroids: list[tuple[int, list[float]]], query_vec: list[float], nprobe: int
+) -> list[int]:
+    """Driver-side probe-list selection: score the query against every
+    centroid (tiny — k rows) and keep the nprobe nearest."""
+
+    def cos_py(a: list[float], b: list[float]) -> float:
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(y * y for y in b) ** 0.5
+        return num / (na * nb) if na and nb else 0.0
+
+    return [
+        cid
+        for cid, _ in sorted(centroids, key=lambda c: -cos_py(query_vec, c[1]))[
+            :nprobe
+        ]
+    ]
+
+
+def ivf_build(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> list[tuple[int, list[float]]]:
+    """Materialize the inverted lists AT INGEST: assign every vector to
+    its nearest centroid once, write the lists parquet-partitioned by
+    ``centroid_id``. Returns the centroids (persist them next to the
+    index; they are the probe-time routing table).
+
+    This is the step that makes IVF pruning real at 100 TB: the probe
+    (``ivf_probe``) filters on the partition column, so Spark's scan
+    lists only nprobe/n_centroids of the directories — PartitionFilters
+    in the plan, asserted in tests/test_plans.py — instead of scanning
+    and re-assigning the full corpus per query."""
+    centroids = seed_centroids(embeddings, n_centroids, id_col, vec_col, seed)
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    return centroids
+
+
+def ivf_probe(
+    spark,
+    path: str,
+    centroids: list[tuple[int, list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a materialized IVF index: read ONLY the nprobe nearest
+    inverted lists (partition-pruned scan), exact cosine re-rank."""
+    probe_ids = _nearest_centroid_ids(centroids, query_vec, nprobe)
+    lists = spark.read.parquet(path).where(F.col("centroid_id").isin(probe_ids))
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        lists.select(
+            F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim")
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -241,22 +309,13 @@ def ivf_topk(
     (driver-side, tiny), keep the ``nprobe`` nearest lists, scan only
     vectors assigned to those lists, exact cosine re-rank.
 
-    At scale the assignment is precomputed at ingest and the probe is
-    a partition-pruned scan of nprobe/n_centroids of the data."""
+    This is the NO-INDEX fallback (assignment recomputed in-flight —
+    reads the full corpus once); the production path is ``ivf_build``
+    at ingest + ``ivf_probe``, whose scan is partition-pruned to the
+    nprobe lists. Both return identical results for the same
+    (seed, n_centroids, nprobe) — asserted in tests."""
     centroids = seed_centroids(embeddings, n_centroids, id_col, vec_col, seed)
-
-    def cos_py(a: list[float], b: list[float]) -> float:
-        num = sum(x * y for x, y in zip(a, b))
-        na = sum(x * x for x in a) ** 0.5
-        nb = sum(y * y for y in b) ** 0.5
-        return num / (na * nb) if na and nb else 0.0
-
-    probe_ids = [
-        cid
-        for cid, _ in sorted(
-            centroids, key=lambda c: -cos_py(query_vec, c[1])
-        )[:nprobe]
-    ]
+    probe_ids = _nearest_centroid_ids(centroids, query_vec, nprobe)
     assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
     cands = assigned.where(F.col("centroid_id").isin(probe_ids))
     q = F.array(*[F.lit(float(v)) for v in query_vec])

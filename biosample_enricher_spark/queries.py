@@ -1308,3 +1308,22 @@ def ann_ivf_topk(spark, sf_dir):
     from .operators.similarity import ivf_topk
 
     return ivf_topk(emb, list(qvec), k=10, n_centroids=16, nprobe=4)
+
+
+@q("ann_ivf_build_probe")  # rows-only: index layout is engine-specific
+def ann_ivf_build_probe(spark, sf_dir):
+    """The production IVF path: materialize inverted lists partitioned
+    by centroid_id at ingest (ivf_build), then probe with a
+    partition-pruned scan of the nprobe nearest lists (ivf_probe).
+    Returns exactly ann_ivf_topk's rows — proven by the plan test
+    tests/test_plans.py::test_ivf_probe_scan_is_partition_pruned."""
+    from .operators.similarity import ivf_build, ivf_probe
+
+    emb = t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"/tmp/bes_ivf_index_{sf_tag}"
+    cents = ivf_build(emb, path, n_centroids=16)
+    return ivf_probe(spark, path, cents, list(qvec), k=10, nprobe=4)

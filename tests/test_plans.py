@@ -108,3 +108,33 @@ def test_simhash_signature_path_is_jvm_only(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     p = plan(docs.select(simhash(F.col("text")).alias("sig")))
     assert "EvalPython" not in p
+
+
+def test_ivf_probe_scan_is_partition_pruned(spark):
+    """ivf_build materializes lists partitioned by centroid_id; the
+    probe's filter must reach the scan as PartitionFilters (only
+    nprobe/n_centroids directories listed) and its results must equal
+    the no-index ivf_topk for the same parameters."""
+    from biosample_enricher_spark.operators.similarity import (
+        ivf_build,
+        ivf_probe,
+        ivf_topk,
+    )
+
+    emb = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    )
+    q = emb.where(F.col("vec_id") == 0).first().embedding
+    path = "/tmp/ivf_index_plans_test"
+    cents = ivf_build(emb, path, n_centroids=8)
+    probe = ivf_probe(spark, path, cents, list(q), k=10, nprobe=3)
+
+    p = plan(probe)
+    part_filters = p.split("PartitionFilters:")[1][:200]
+    assert "centroid_id" in part_filters
+
+    flat = ivf_topk(emb, list(q), k=10, n_centroids=8, nprobe=3)
+    assert [(r.vec_id, r.cos_sim) for r in probe.collect()] == [
+        (r.vec_id, r.cos_sim) for r in flat.collect()
+    ]
