@@ -1,0 +1,146 @@
+"""Geographic parsing + classification operators (SURVEY.md §2 F14/F18).
+
+Pure Column expressions throughout — these run in the scan's codegen
+stage with zero Python, so they cost nothing extra at 100 TB.
+
+Reference parity anchors:
+- ``parse_geo_loc_name`` — "Country: State, Locality" parse with the
+  US-state smart-ordering disambiguation ("USA: Central City, Nebraska"
+  is city-first, "USA: Wisconsin, Lake Mendota" is state-first):
+  ``/root/reference/biosample_enricher/metrics/evaluator.py:348-460``
+  (50-state set at 369-420, ordering swap at 431-444).
+- ``us_region_class`` — all 9 US bounding boxes including the Aleutian
+  antimeridian wrap (``lon >= 172.0 or lon <= -129.0``):
+  ``/root/reference/biosample_enricher/elevation/classifier.py:104-172``
+  (wrap at 145-149).
+- ``land_ocean_class`` — the land/ocean heuristic with its early-return
+  Pacific special case: ``classifier.py:174-244``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# The reference's 50-state set (evaluator.py:369-420).
+US_STATES: tuple[str, ...] = (
+    "Alabama", "Alaska", "Arizona", "Arkansas", "California", "Colorado",
+    "Connecticut", "Delaware", "Florida", "Georgia", "Hawaii", "Idaho",
+    "Illinois", "Indiana", "Iowa", "Kansas", "Kentucky", "Louisiana",
+    "Maine", "Maryland", "Massachusetts", "Michigan", "Minnesota",
+    "Mississippi", "Missouri", "Montana", "Nebraska", "Nevada",
+    "New Hampshire", "New Jersey", "New Mexico", "New York",
+    "North Carolina", "North Dakota", "Ohio", "Oklahoma", "Oregon",
+    "Pennsylvania", "Rhode Island", "South Carolina", "South Dakota",
+    "Tennessee", "Texas", "Utah", "Vermont", "Virginia", "Washington",
+    "West Virginia", "Wisconsin", "Wyoming",
+)
+
+# The no-colon branch's country whitelist (evaluator.py:455).
+_BARE_COUNTRIES = ("USA", "CANADA", "MEXICO")
+
+
+def parse_geo_loc_name(geo: Column) -> Column:
+    """Parse a geo_loc_name into ``struct<country, state, locality>``.
+
+    Exact Column re-expression of ``_parse_geo_loc_name``
+    (evaluator.py:348-460):
+
+    - ``"Country: rest"`` → country = trimmed prefix.
+    - rest with a comma → first two trimmed parts; for USA, if the
+      SECOND part is one of the 50 states the order is city-first
+      (GOLD pattern) and is swapped; otherwise state-first (NMDC).
+      Either part empty → neither state nor locality is set.
+    - rest without a comma → state = trimmed rest (if nonempty).
+    - no colon → trimmed whole string is a country if it upcases to
+      USA/CANADA/MEXICO, else a locality; empty/null → all null.
+    """
+    has_colon = geo.contains(":")
+    country_part = F.trim(F.substring_index(geo, ":", 1))
+    # everything after the FIRST colon (split limit 2 keeps later
+    # colons); F.get → NULL when there is no colon (ANSI-safe)
+    rest = F.get(F.split(geo, ":", 2), 1)
+    has_comma = rest.contains(",")
+    parts = F.transform(F.split(rest, ",", -1), lambda p: F.trim(p))
+    # F.get is out-of-bounds-null regardless of ANSI mode (element_at
+    # would throw under spark.sql.ansi.enabled on a 1-part rest)
+    p0 = F.get(parts, 0)
+    p1 = F.get(parts, 1)
+    two_ok = has_comma & (p0 != "") & (p1 != "")
+    is_usa = F.upper(country_part) == "USA"
+    p1_is_state = p1.isin(*US_STATES)
+
+    bare = F.trim(geo)
+    bare_is_country = F.upper(bare).isin(*_BARE_COUNTRIES)
+
+    country = (
+        F.when(has_colon, country_part)
+        .when((bare != "") & bare_is_country, bare)
+        .otherwise(F.lit(None).cast("string"))
+    )
+    state = (
+        F.when(
+            has_colon & two_ok,
+            F.when(is_usa & p1_is_state, p1).otherwise(p0),
+        )
+        .when(has_colon & ~has_comma & (F.trim(rest) != ""), F.trim(rest))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    locality = (
+        F.when(
+            has_colon & two_ok,
+            F.when(is_usa & p1_is_state, p0).otherwise(p1),
+        )
+        .when(~has_colon & (bare != "") & ~bare_is_country, bare)
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return F.struct(
+        country.alias("country"), state.alias("state"), locality.alias("locality")
+    )
+
+
+def us_region_class(lat: Column, lon: Column) -> Column:
+    """US region code (CONUS/AK/HI/PR/VI/GU/AS/MP) or OTHER, checked in
+    the reference's order with its exact bounds (classifier.py:104-172).
+    AK includes the Aleutian band crossing the 180° meridian."""
+    ak = (lat.between(54.0, 71.5) & lon.between(-180.0, -129.0)) | (
+        lat.between(51.0, 55.5) & ((lon >= 172.0) | (lon <= -129.0))
+    )
+    return (
+        F.when(
+            lat.between(24.396308, 49.384358) & lon.between(-125.0, -66.93457),
+            "CONUS",
+        )
+        .when(ak, "AK")
+        .when(lat.between(18.0, 22.5) & lon.between(-161.0, -154.0), "HI")
+        .when(lat.between(17.8, 18.6) & lon.between(-67.5, -65.0), "PR")
+        .when(lat.between(17.6, 18.5) & lon.between(-65.2, -64.5), "VI")
+        .when(lat.between(13.2, 13.7) & lon.between(144.6, 145.0), "GU")
+        .when(lat.between(-14.7, -14.0) & lon.between(-171.2, -169.4), "AS")
+        .when(lat.between(14.0, 20.6) & lon.between(144.8, 146.1), "MP")
+        .otherwise("OTHER")
+    )
+
+
+def land_ocean_class(lat: Column, lon: Column) -> Column:
+    """'ocean' / 'land' / 'uncertain' per the reference heuristic
+    (classifier.py:174-244). The central-Pacific box EARLY-RETURNS —
+    a point there with lon > -130 is NOT ocean even if a later box
+    would match — so it is one when-branch, not a plain OR."""
+    is_ocean = (
+        F.when(lat.between(-30, 30) & lon.between(-180, -120), lon <= -130)
+        .when(lat.between(-40, 40) & lon.between(-50, -10), F.lit(True))
+        .when(lat < -60, F.lit(True))
+        .otherwise(lat.between(-30, 10) & lon.between(60, 90))
+    )
+    is_land = (
+        (lat.between(30, 60) & lon.between(-120, -75))
+        | (lat.between(-40, 10) & lon.between(-75, -35))
+        | (lat.between(-30, 30) & lon.between(10, 45))
+        | (lat.between(35, 65) & lon.between(-5, 40))
+        | (lat.between(20, 65) & lon.between(60, 140))
+        | (lat.between(-40, -15) & lon.between(115, 150))
+    )
+    return (
+        F.when(is_ocean, "ocean").when(is_land, "land").otherwise("uncertain")
+    )

@@ -607,32 +607,59 @@ def f11_haversine(spark, sf_dir):
 @q(
     "f14_bbox_classify",
     """
+    WITH pts AS (
+      SELECT event_id,
+             CAST(event_id % 1800 AS DOUBLE) / 10 - 90 AS lat,
+             CAST((event_id * 131) % 3600 AS DOUBLE) / 10 - 180 AS lon
+      FROM events
+    )
     SELECT event_id,
-      CASE WHEN ((value * 1.8) - 90) BETWEEN 24 AND 50
-                AND (((user_id % 360) - 180)) BETWEEN -125 AND -66 THEN 'CONUS'
-           WHEN ((value * 1.8) - 90) BETWEEN 51 AND 72
-                AND (((user_id % 360) - 180)) BETWEEN -170 AND -129 THEN 'AK'
-           WHEN ((value * 1.8) - 90) BETWEEN 18 AND 23
-                AND (((user_id % 360) - 180)) BETWEEN -161 AND -154 THEN 'HI'
-           ELSE 'OTHER' END AS region_class
-    FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+      CASE WHEN lat BETWEEN 24.396308 AND 49.384358
+                AND lon BETWEEN -125.0 AND -66.93457 THEN 'CONUS'
+           WHEN (lat BETWEEN 54.0 AND 71.5 AND lon BETWEEN -180.0 AND -129.0)
+                OR (lat BETWEEN 51.0 AND 55.5
+                    AND (lon >= 172.0 OR lon <= -129.0)) THEN 'AK'
+           WHEN lat BETWEEN 18.0 AND 22.5 AND lon BETWEEN -161.0 AND -154.0 THEN 'HI'
+           WHEN lat BETWEEN 17.8 AND 18.6 AND lon BETWEEN -67.5 AND -65.0 THEN 'PR'
+           WHEN lat BETWEEN 17.6 AND 18.5 AND lon BETWEEN -65.2 AND -64.5 THEN 'VI'
+           WHEN lat BETWEEN 13.2 AND 13.7 AND lon BETWEEN 144.6 AND 145.0 THEN 'GU'
+           WHEN lat BETWEEN -14.7 AND -14.0
+                AND lon BETWEEN -171.2 AND -169.4 THEN 'AS'
+           WHEN lat BETWEEN 14.0 AND 20.6 AND lon BETWEEN 144.8 AND 146.1 THEN 'MP'
+           ELSE 'OTHER' END AS region_class,
+      CASE WHEN (CASE WHEN lat BETWEEN -30 AND 30 AND lon BETWEEN -180 AND -120
+                      THEN lon <= -130
+                      WHEN lat BETWEEN -40 AND 40 AND lon BETWEEN -50 AND -10
+                      THEN TRUE
+                      WHEN lat < -60 THEN TRUE
+                      ELSE lat BETWEEN -30 AND 10 AND lon BETWEEN 60 AND 90 END)
+           THEN 'ocean'
+           WHEN (lat BETWEEN 30 AND 60 AND lon BETWEEN -120 AND -75)
+                OR (lat BETWEEN -40 AND 10 AND lon BETWEEN -75 AND -35)
+                OR (lat BETWEEN -30 AND 30 AND lon BETWEEN 10 AND 45)
+                OR (lat BETWEEN 35 AND 65 AND lon BETWEEN -5 AND 40)
+                OR (lat BETWEEN 20 AND 65 AND lon BETWEEN 60 AND 140)
+                OR (lat BETWEEN -40 AND -15 AND lon BETWEEN 115 AND 150)
+           THEN 'land'
+           ELSE 'uncertain' END AS surface_class
+    FROM pts
     """,
 )
 def f14_bbox_classify(spark, sf_dir):
-    """F14: bounding-box membership chains (elevation/classifier.py:
-    137-172)."""
-    e = t(spark, sf_dir, "events").where(
-        F.col("value").isNotNull() & F.col("user_id").isNotNull()
-    )
-    lat = (F.col("value") * 1.8) - 90
-    lon = (F.col("user_id") % 360) - 180
+    """F14 (full): all 9 US region boxes incl. the Aleutian
+    antimeridian wrap, plus the land/ocean heuristic
+    (elevation/classifier.py:104-244). Test points are a deterministic
+    0.1-degree grid over events so both sides of 180 degrees occur
+    (e.g. event_id 1429 lands at lat 52.9, lon 179.9 = west Aleutians)."""
+    from .operators.geo import land_ocean_class, us_region_class
+
+    e = t(spark, sf_dir, "events")
+    lat = (F.col("event_id") % 1800).cast("double") / 10 - 90
+    lon = ((F.col("event_id") * 131) % 3600).cast("double") / 10 - 180
     return e.select(
         "event_id",
-        F.when(lat.between(24, 50) & lon.between(-125, -66), "CONUS")
-        .when(lat.between(51, 72) & lon.between(-170, -129), "AK")
-        .when(lat.between(18, 23) & lon.between(-161, -154), "HI")
-        .otherwise("OTHER")
-        .alias("region_class"),
+        us_region_class(lat, lon).alias("region_class"),
+        land_ocean_class(lat, lon).alias("surface_class"),
     )
 
 
@@ -961,6 +988,106 @@ def f17_format_and_parse(spark, sf_dir):
         geo.alias("geo_loc"),
         F.split(geo, ": ").getItem(0).alias("parsed_region"),
         F.split(geo, ": ").getItem(1).alias("parsed_nation"),
+    )
+
+
+# Deterministic geo_loc_name corpus covering every parse branch: both
+# US orderings (state-first NMDC, city-first GOLD), non-US, colon-less
+# country/locality, single-part rest, empty parts, empty string; index
+# 13 (one past the list) is the NULL case via out-of-bounds get.
+_GEO_CASES = (
+    "USA: California, San Francisco Bay",
+    "USA: Central City, Nebraska",
+    "USA: Wisconsin, Lake Mendota",
+    "Pacific Ocean: North Pacific",
+    "Canada: Ontario, Toronto",
+    "USA: Austin, Texas",
+    "USA",
+    "mexico",
+    "Lake Erie",
+    "France: Paris",
+    "USA: , Nebraska",
+    "USA: Texas,",
+    "",
+)
+
+_STATES_SQL = ", ".join(
+    f"'{s}'"
+    for s in (
+        "Alabama", "Alaska", "Arizona", "Arkansas", "California", "Colorado",
+        "Connecticut", "Delaware", "Florida", "Georgia", "Hawaii", "Idaho",
+        "Illinois", "Indiana", "Iowa", "Kansas", "Kentucky", "Louisiana",
+        "Maine", "Maryland", "Massachusetts", "Michigan", "Minnesota",
+        "Mississippi", "Missouri", "Montana", "Nebraska", "Nevada",
+        "New Hampshire", "New Jersey", "New Mexico", "New York",
+        "North Carolina", "North Dakota", "Ohio", "Oklahoma", "Oregon",
+        "Pennsylvania", "Rhode Island", "South Carolina", "South Dakota",
+        "Tennessee", "Texas", "Utah", "Vermont", "Virginia", "Washington",
+        "West Virginia", "Wisconsin", "Wyoming",
+    )
+)
+_GEO_CASES_SQL = ", ".join(f"'{c}'" for c in _GEO_CASES)
+
+
+@q(
+    "f18_geo_loc_parse",
+    f"""
+    WITH raw AS (
+      SELECT doc_id,
+             list_extract([{_GEO_CASES_SQL}],
+                          CAST(doc_id % 14 AS INT) + 1) AS geo_loc
+      FROM documents
+    ), p AS (
+      SELECT doc_id, geo_loc,
+             strpos(geo_loc, ':') > 0 AS has_colon,
+             trim(split_part(geo_loc, ':', 1)) AS country_part,
+             substr(geo_loc, strpos(geo_loc, ':') + 1) AS rest,
+             trim(geo_loc) AS bare
+      FROM raw
+    ), q AS (
+      SELECT *,
+             strpos(rest, ',') > 0 AS has_comma,
+             trim(split_part(rest, ',', 1)) AS p0,
+             trim(split_part(rest, ',', 2)) AS p1
+      FROM p
+    )
+    SELECT doc_id, geo_loc,
+      CASE WHEN has_colon THEN country_part
+           WHEN bare <> '' AND upper(bare) IN ('USA','CANADA','MEXICO')
+           THEN bare END AS country,
+      CASE WHEN has_colon AND has_comma AND p0 <> '' AND p1 <> '' THEN
+             CASE WHEN upper(country_part) = 'USA' AND p1 IN ({_STATES_SQL})
+                  THEN p1 ELSE p0 END
+           WHEN has_colon AND NOT has_comma AND trim(rest) <> ''
+           THEN trim(rest) END AS state,
+      CASE WHEN has_colon AND has_comma AND p0 <> '' AND p1 <> '' THEN
+             CASE WHEN upper(country_part) = 'USA' AND p1 IN ({_STATES_SQL})
+                  THEN p0 ELSE p1 END
+           WHEN NOT has_colon AND bare <> ''
+                AND upper(bare) NOT IN ('USA','CANADA','MEXICO')
+           THEN bare END AS locality
+    FROM q
+    """,
+)
+def f18_geo_loc_parse(spark, sf_dir):
+    """F18: geo_loc_name parse with US-state smart-ordering
+    disambiguation (evaluator.py:348-460) — 'USA: Central City,
+    Nebraska' is city-first, 'USA: Wisconsin, Lake Mendota' is
+    state-first. Inputs cycle through a branch-complete literal corpus
+    keyed by doc_id so the oracle sees identical strings."""
+    from .operators.geo import parse_geo_loc_name
+
+    geo = F.get(
+        F.array(*[F.lit(c) for c in _GEO_CASES]),
+        (F.col("doc_id") % 14).cast("int"),
+    )
+    parsed = parse_geo_loc_name(geo)
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        geo.alias("geo_loc"),
+        parsed["country"].alias("country"),
+        parsed["state"].alias("state"),
+        parsed["locality"].alias("locality"),
     )
 
 
