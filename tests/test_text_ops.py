@@ -79,3 +79,23 @@ def test_en_marker_counting_matches_python(spark):
         re.findall(r"\b(" + "|".join(EN_MARKERS) + r")\b", text.lower())
     )
     assert got == expected == 8
+
+
+def test_sha1_matches_hashlib(spark):
+    """F21 sha1 tier: Spark's sha1 must equal hashlib on real texts
+    (DuckDB has no sha1, so the driver-checked tier is md5 and this is
+    the sha1 parity pin)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    rows = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .where(F.col("text").isNotNull())
+        .limit(50)
+        .select("text", F.sha1(F.col("text")).alias("d"))
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert r.d == hashlib.sha1(r.text.encode("utf-8")).hexdigest()
