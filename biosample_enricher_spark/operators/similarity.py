@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -325,4 +325,122 @@ def ivf_topk(
         )
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
+    )
+
+
+# --- recall harness -----------------------------------------------------------
+
+
+def recall_vs_bruteforce(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 10,
+    n_planes: int = 16,
+    max_hamming: int = 8,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Measured recall@k of the approximate ANN tiers against exact
+    brute force, computed IN Spark (one job, no per-query loop):
+    one row per method — (method, n_queries, k, avg_recall).
+
+    This is the quantitative correctness signal for the ``no_oracle``
+    approximate operators: DuckDB cannot replay an SRP prefilter or an
+    IVF probe, but it doesn't need to — the engine measures its own
+    recall against its exact baseline, and tests pin a floor.
+
+    Shape: queries are the first ``n_queries`` vectors; every method's
+    candidate set is scored with the same cosine expression and ranked
+    with one window per method; recalls are set-intersection joins.
+    The query side is tiny and broadcast everywhere; the corpus is
+    scanned once per method, never collected.
+    """
+    emb = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    )
+    qs = emb.where(F.col("vid") < n_queries).select(
+        F.col("vid").alias("qid"), F.col("vec").alias("qvec")
+    )
+    first = embeddings.select(F.size(vec_col).alias("d")).first()
+    dim = int(first["d"])
+    planes = [_hyperplane(dim, p, seed) for p in range(n_planes)]
+
+    sk_e = emb.withColumn("sketch", srp_sketch(F.col("vec"), planes))
+    sk_q = qs.withColumn("qsketch", srp_sketch(F.col("qvec"), planes))
+    pairs = sk_e.crossJoin(F.broadcast(sk_q))
+    scored = pairs.withColumn(
+        "cos", F.round(cosine(F.col("vec"), F.col("qvec")), 6)
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vid"))
+
+    exact_top = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("qid", "vid")
+    )
+    srp_top = (
+        scored.where(
+            F.bit_count(F.col("sketch").bitwiseXOR(F.col("qsketch")))
+            <= max_hamming
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("qid", "vid")
+    )
+
+    # IVF: assign corpus once; route each query to its nprobe nearest
+    # centroids via the same literal-centroid trick (no createDataFrame)
+    centroids = seed_centroids(embeddings, n_centroids, id_col, vec_col, seed)
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"), "centroid_id"
+    )
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(cid).alias("cid"),
+                F.array(*[F.lit(float(v)) for v in cvec]).alias("cvec"),
+            )
+            for cid, cvec in centroids
+        ]
+    )
+    cents = qs.select("qid", "qvec", F.explode(cent_lit).alias("c"))
+    wq = Window.partitionBy("qid").orderBy(
+        F.col("csim").desc(), F.col("c.cid")
+    )
+    qprobe = (
+        cents.withColumn("csim", cosine(F.col("qvec"), F.col("c.cvec")))
+        .withColumn("crk", F.row_number().over(wq))
+        .where(F.col("crk") <= nprobe)
+        .select("qid", F.col("c.cid").alias("centroid_id"))
+    )
+    ivf_cands = assigned.join(F.broadcast(qprobe), "centroid_id").join(
+        F.broadcast(qs), "qid"
+    )
+    ivf_top = (
+        ivf_cands.withColumn(
+            "cos", F.round(cosine(F.col("vec"), F.col("qvec")), 6)
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("qid", "vid")
+    )
+
+    def _recall(approx: DataFrame, method: str) -> DataFrame:
+        hits = exact_top.join(approx, ["qid", "vid"]).groupBy().agg(
+            F.count(F.lit(1)).alias("n_hits")
+        )
+        return hits.select(
+            F.lit(method).alias("method"),
+            F.lit(n_queries).alias("n_queries"),
+            F.lit(k).alias("k"),
+            F.round(F.col("n_hits") / F.lit(n_queries * k), 4).alias(
+                "avg_recall"
+            ),
+        )
+
+    return _recall(srp_top, "srp_sketch").unionByName(
+        _recall(ivf_top, "ivf_probe")
     )

@@ -1703,3 +1703,47 @@ def f21_hash_ids(spark, sf_dir):
         .where(F.col("text").isNotNull())
         .select("doc_id", F.md5(F.col("text")).alias("digest_md5"))
     )
+
+
+@q("ann_recall_metrics")  # rows-only: measures the engine's own recall
+def ann_recall_metrics(spark, sf_dir):
+    """Quantitative correctness for the approximate ANN tiers: measured
+    recall@10 of the SRP prefilter and the IVF probe against exact
+    brute force, computed distributed (no per-query loop). Floors are
+    pinned in tests/test_dedup_similarity.py."""
+    from .operators.similarity import recall_vs_bruteforce
+
+    emb = t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return recall_vs_bruteforce(
+        emb, n_queries=10, k=10, n_planes=16, max_hamming=8,
+        n_centroids=16, nprobe=4,
+    )
+
+
+@q("dedup_lsh_recall")  # rows-only: measures the engine's own recall
+def dedup_lsh_recall(spark, sf_dir):
+    """Measured recall of MinHash-LSH candidate generation against the
+    exact inverted-index Jaccard pairs at threshold 0.5 on the
+    documents corpus: (n_true, n_found, recall)."""
+    d = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    true_pairs = D.jaccard_candidates(d, "doc_id", "text", 3, 0.5).select(
+        "id_a", "id_b"
+    )
+    lsh_pairs = D.minhash_near_duplicates(
+        d, "doc_id", "text", threshold=0.5, num_hashes=64, bands=32
+    ).select("id_a", "id_b")
+    n_true = true_pairs.groupBy().agg(F.count(F.lit(1)).alias("n_true"))
+    n_hit = true_pairs.join(lsh_pairs, ["id_a", "id_b"]).groupBy().agg(
+        F.count(F.lit(1)).alias("n_found")
+    )
+    return n_true.crossJoin(n_hit).select(
+        "n_true",
+        "n_found",
+        F.round(
+            F.when(F.col("n_true") > 0, F.col("n_found") / F.col("n_true"))
+            .otherwise(F.lit(1.0)),
+            4,
+        ).alias("recall"),
+    )
