@@ -33,6 +33,7 @@ from ..spec import (
     MSG_TEXT_MISSING,
     MSG_TEXT_ON_MEDIA,
     NULL_SENTINELS,
+    STRIP_WHITESPACE,
 )
 
 _VIOL_ARRAY_TYPE = (
@@ -43,10 +44,11 @@ def norm_is_null(c: Column) -> Column:
     (Spark analog of spec.normalize_text; reference:
     ``metrics/aligner.py:234-238``, ``models.py:133``).
 
-    Strips the Java ``\\s`` class — the exact set the UDF/oracle paths
-    strip via ``spec.STRIP_WHITESPACE`` (F.trim would strip only 0x20,
-    silently diverging on tab/newline-padded sentinels)."""
-    stripped = F.regexp_replace(c, r"^\s+|\s+$", "")
+    Strips exactly ``spec.STRIP_WHITESPACE`` — the set the UDF/oracle
+    paths strip (F.trim would strip only 0x20, silently diverging on
+    tab/newline-padded sentinels). btrim with an explicit char set is a
+    plain two-ended scan — no regex machinery in the hot fold."""
+    stripped = F.btrim(c, F.lit(STRIP_WHITESPACE))
     return c.isNull() | F.lower(stripped).isin(*sorted(NULL_SENTINELS))
 
 

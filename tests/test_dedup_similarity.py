@@ -204,7 +204,34 @@ def test_approximate_tier_recall_floors(spark):
     }
     assert rows["srp_sketch"] >= 0.80
     assert rows["ivf_probe"] >= 0.45
+    # Lloyd-refined centroids must not lose recall vs the seeded ones
+    assert rows["ivf_probe_refined"] >= rows["ivf_probe"] - 0.05
 
     lsh = QUERIES["dedup_lsh_recall"](spark, "/root/testdata/sf0.01").first()
     assert lsh.n_true > 0
     assert lsh.recall >= 0.95
+
+
+def test_kmeans_refine_is_deterministic_and_converging(spark, edf):
+    """Lloyd refinement: deterministic across runs, and each iteration
+    moves centroids toward assignment means (mean within-cluster cosine
+    must not degrade)."""
+    import numpy as np
+
+    from biosample_enricher_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_refine,
+        seed_centroids,
+    )
+
+    emb = edf.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    seeded = seed_centroids(emb, 8)
+    r1 = kmeans_refine(emb, seeded, n_iters=2)
+    r2 = kmeans_refine(emb, seeded, n_iters=2)
+    assert r1 == r2  # byte-deterministic: no RNG, fixed reduction keys
+
+    def mean_sim(cents):
+        rows = ivf_assign(emb, cents).select("centroid_sim").collect()
+        return float(np.mean([r.centroid_sim for r in rows]))
+
+    assert mean_sim(r1) >= mean_sim(seeded) - 1e-6
