@@ -24,7 +24,7 @@ from __future__ import annotations
 import math
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..spec import C_DRIFT_KIND_FREQ, C_DRIFT_SPAN_LEN
@@ -126,3 +126,53 @@ def drift_check(
         "kind",
     )
     return span_len.unionByName(kind_freq)
+
+
+def tv_from_histograms(
+    base_hist: DataFrame,
+    cur_hist: DataFrame,
+    constraint_id: str,
+    bucket_col: str,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Total-variation drift: TV = 0.5 * sum_b |p_base(b) - p_cur(b)|.
+
+    Order-independent (unlike KS, whose statistic depends on the bucket
+    ordering — fine for span lengths, arguable for categorical kind
+    frequencies; SURVEY.md §2.9 note). Pure expressions end-to-end: the
+    histogram alignment is a full-outer join on the bucket key and the
+    statistic is one aggregate — no Python at all, so this tier also
+    serves as the SQL-oracled drift path.
+    """
+    a = base_hist.select(
+        F.col(bucket_col).alias("bucket"), F.col("n").alias("n_base")
+    )
+    b = cur_hist.select(F.col(bucket_col).alias("bucket"), F.col("n").alias("n_cur"))
+    joined = a.join(b, "bucket", "full_outer").select(
+        F.coalesce("n_base", F.lit(0)).alias("n_base"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+    # whole-frame window over the tiny aggregated histogram (|buckets|
+    # rows) to turn counts into probabilities before the final fold
+    w = Window.partitionBy()
+    probs = joined.select(
+        "n_base",
+        "n_cur",
+        (
+            F.col("n_base") / F.sum("n_base").over(w)
+            - F.col("n_cur") / F.sum("n_cur").over(w)
+        ).alias("pdiff"),
+    )
+    tot = probs.groupBy().agg(
+        F.sum("n_base").alias("na"),
+        F.sum("n_cur").alias("nb"),
+        F.sum(F.abs(F.col("pdiff"))).alias("_absdiff"),
+    )
+    return tot.select(
+        F.lit(constraint_id).alias("constraint_id"),
+        (F.col("_absdiff") / 2).alias("tv_stat"),
+        F.col("na").cast("long").alias("n_base"),
+        F.col("nb").cast("long").alias("n_cur"),
+        F.lit(float(threshold)).alias("threshold"),
+        ((F.col("_absdiff") / 2) <= threshold).alias("passed"),
+    )

@@ -1747,3 +1747,55 @@ def dedup_lsh_recall(spark, sf_dir):
             4,
         ).alias("recall"),
     )
+
+
+@q(
+    "drift_tv_lang",
+    """
+    WITH h AS (
+      SELECT coalesce(lang, '<null>') AS bucket,
+             sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS n_base,
+             sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS n_cur
+      FROM documents GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(n_base) AS BIGINT) AS na,
+             CAST(sum(n_cur) AS BIGINT) AS nb FROM h
+    )
+    SELECT 'drift_tv_lang' AS constraint_id,
+           round((SELECT sum(abs(n_base * 1.0 / tot.na - n_cur * 1.0 / tot.nb))
+                    FROM h, tot) / 2, 9) AS tv_stat,
+           tot.na AS n_base, tot.nb AS n_cur,
+           0.05 AS threshold,
+           round((SELECT sum(abs(n_base * 1.0 / tot.na - n_cur * 1.0 / tot.nb))
+                    FROM h, tot) / 2, 9) <= 0.05 AS passed
+    FROM tot
+    """,
+)
+def drift_tv_lang(spark, sf_dir):
+    """§2.9 drift, categorical tier: total-variation distance over the
+    lang histogram (order-independent — the right statistic for
+    kind/category frequencies, where KS's bucket-order dependence is
+    arguable). Baseline = even doc_ids vs current = odd. tv_stat is
+    rounded to 9 dp on both sides: the abs-diff sum is a float
+    reduction whose partial-sum order differs between engines at the
+    last ulp."""
+    from .operators.drift import tv_from_histograms
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("lang", F.lit("<null>")).alias("bucket")
+    )
+    base = d.where(F.col("doc_id") % 2 == 0).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    cur = d.where(F.col("doc_id") % 2 == 1).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    res = tv_from_histograms(base, cur, "drift_tv_lang", "bucket")
+    return res.select(
+        "constraint_id",
+        F.round("tv_stat", 9).alias("tv_stat"),
+        "n_base",
+        "n_cur",
+        "threshold",
+        (F.round("tv_stat", 9) <= F.col("threshold")).alias("passed"),
+    )

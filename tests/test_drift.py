@@ -66,3 +66,36 @@ def test_ks_stat_matches_python(spark):
     got = res[C_DRIFT_SPAN_LEN]
     assert abs(got.ks_stat - d) < 1e-12
     assert got.n_base == na and got.n_cur == nb
+
+
+def test_tv_distance_identical_and_disjoint(spark):
+    """TV = 0 for identical histograms, 1 for disjoint support, and is
+    invariant to bucket ordering (its reason to exist next to KS)."""
+    from pyspark.sql import functions as F
+
+    from biosample_enricher_spark.operators.drift import tv_from_histograms
+
+    def hist(pairs):
+        arr = F.array(*[
+            F.struct(F.lit(b).alias("bucket"), F.lit(n).alias("n"))
+            for b, n in pairs
+        ])
+        return (
+            spark.range(1)
+            .select(F.explode(arr).alias("x"))
+            .select("x.bucket", "x.n")
+        )
+
+    same = [("a", 10), ("b", 30)]
+    r = tv_from_histograms(hist(same), hist(same[::-1]), "tv", "bucket").first()
+    assert abs(r.tv_stat) < 1e-12 and bool(r.passed)
+
+    r = tv_from_histograms(
+        hist([("a", 10)]), hist([("b", 99)]), "tv", "bucket"
+    ).first()
+    assert abs(r.tv_stat - 1.0) < 1e-12 and not bool(r.passed)
+
+    r = tv_from_histograms(
+        hist([("a", 50), ("b", 50)]), hist([("a", 25), ("b", 75)]), "tv", "bucket"
+    ).first()
+    assert abs(r.tv_stat - 0.25) < 1e-12
