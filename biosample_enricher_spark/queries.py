@@ -1799,3 +1799,47 @@ def drift_tv_lang(spark, sf_dir):
         "threshold",
         (F.round("tv_stat", 9) <= F.col("threshold")).alias("passed"),
     )
+
+
+@q("multimodal_pipeline")  # rows-only: stubbed decode is engine-specific
+def multimodal_pipeline(spark, sf_dir):
+    """Multimodal plumbing end-to-end on driver data: derive an asset
+    catalog from documents, attach deterministic binary payloads +
+    typed metadata, decode/feature-extract via Arrow-batched
+    mapInPandas (stub decode — no media libs in the container), and
+    compute aspect-preserving resize geometry as Column math
+    (operators/multimodal.py)."""
+    from .operators.multimodal import (
+        extract_features,
+        resize_stub,
+        synth_media_assets,
+    )
+
+    cat = (
+        t(spark, sf_dir, "documents")
+        .select(
+            F.format_string("asset-%08d", F.col("doc_id") % 1000).alias(
+                "media_ref"
+            ),
+            F.element_at(
+                F.array(F.lit("image"), F.lit("audio"), F.lit("table")),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ).alias("media_kind"),
+        )
+        .distinct()
+    )
+    assets = resize_stub(synth_media_assets(cat))
+    feats = extract_features(assets.select(
+        "media_ref", "media_kind", "payload"
+    ))
+    geom = assets.select(
+        "media_ref", "width", "height", "resized_width", "resized_height"
+    )
+    return feats.join(geom, "media_ref").select(
+        "media_ref",
+        "media_kind",
+        "decode_ok",
+        F.size("feature").alias("feature_dim"),
+        "resized_width",
+        "resized_height",
+    )
