@@ -1843,3 +1843,32 @@ def multimodal_pipeline(spark, sf_dir):
         "resized_width",
         "resized_height",
     )
+
+
+@q(
+    "a16_quantiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def a16_quantiles(spark, sf_dir):
+    """A16: per-group quantiles. Oracled tier uses the exact
+    interpolated percentile (= DuckDB quantile_cont); the production
+    sketch tier (percentile_approx / KLL, single-pass mergeable) runs
+    in the schema profiler (operators/stats.py:55-77) where
+    cross-engine equality is not defined."""
+    return (
+        t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+            F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+        )
+    )
