@@ -525,13 +525,15 @@ def u2_dedup_distinct(spark, sf_dir):
            CASE WHEN n_chars >= 1000 THEN 'long'
                 WHEN n_chars >= 200 THEN 'medium'
                 ELSE 'short' END AS size_class,
-           regexp_replace(source, '^src_', '') AS source_stripped
+           regexp_replace(source, '^src_', '') AS source_stripped,
+           starts_with(source, 'src1') AS is_src1x
     FROM documents WHERE text IS NOT NULL
     """,
 )
 def f_scalar_gauntlet(spark, sf_dir):
-    """F1-F7: trim/lower/length/hash/when-chain/prefix-strip
-    (adapters.py, host_detector.py, models.py scalar surface)."""
+    """F1-F7: trim/lower/length/hash/when-chain/prefix-strip/startswith
+    (adapters.py, host_detector.py, models.py scalar surface; F5's
+    dedicated startswith — not an anchored-regex stand-in)."""
     return (
         t(spark, sf_dir, "documents")
         .where(F.col("text").isNotNull())
@@ -545,6 +547,7 @@ def f_scalar_gauntlet(spark, sf_dir):
             .otherwise("short")
             .alias("size_class"),
             F.regexp_replace("source", "^src_", "").alias("source_stripped"),
+            F.startswith(F.col("source"), F.lit("src1")).alias("is_src1x"),
         )
     )
 
