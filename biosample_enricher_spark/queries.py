@@ -1875,3 +1875,46 @@ def a16_quantiles(spark, sf_dir):
             F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
         )
     )
+
+
+@q("streaming_validation")  # rows-only: streaming sink is engine-specific
+def streaming_validation(spark, sf_dir):
+    """§2.11 streaming tier on driver data: the flat documents table is
+    streamed through the incremental file source, lifted to the
+    interleaved span shape in-stream, validated with the SAME batch
+    constraint expressions, drained with availableNow into a memory
+    sink, and returned. Every fifth doc is lifted as a media span with
+    a null ref so the stream provably emits violations. Batch parity +
+    exactly-once resume are pinned in tests/test_streaming.py."""
+    from .streaming import streaming_violations
+
+    flat = (
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    # glob form: the file source requires a directory basePath, and a
+    # glob's parent (sf_dir) satisfies it even for a single-file table
+    stream = spark.readStream.schema(flat).parquet(f"{sf_dir}/documents.*")
+    is_media = F.col("doc_id") % 5 == 0
+    docs = stream.select(
+        F.format_string("doc-%012d", F.col("doc_id")).alias("doc_id"),
+        F.array(
+            F.struct(
+                F.when(is_media, "image").otherwise("text").alias("kind"),
+                F.when(~is_media, F.col("text")).alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).cast("int").alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    viol = streaming_violations(docs)
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    name = f"stream_viol_{sf_tag.replace('.', '_')}"
+    q_stream = (
+        viol.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_stream.awaitTermination()
+    return spark.table(name)

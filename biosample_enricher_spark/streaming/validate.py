@@ -1,0 +1,117 @@
+"""Structured Streaming ingest validation (§2.11 streaming tier).
+
+The batch engine's row-scope constraint expressions are stateless
+Column projections, so the SAME plan fragment (``exprs.span_violations``
++ content-addressed partition ids) runs unchanged under
+``readStream`` — violations stream out with exactly-once semantics via
+the sink checkpoint. This mirrors how the reference's per-record
+validation would sit behind a queue consumer, re-expressed as Spark's
+incremental file source (``maxFilesPerTrigger`` bounds a micro-batch;
+``availableNow`` drains a backlog and stops — the test/driver mode).
+
+Late data: ``windowed_violation_counts`` demonstrates the stateful
+tier — event-time windows + watermark over the violation stream, the
+standard shape for "violations per source-partition per window"
+operational rollups.
+
+Batch/stream parity is asserted in tests/test_streaming.py: the
+streamed violation rows equal the batch engine's rows byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..constraints import exprs
+from ..constraints.core import stable_partition_id
+from ..spec import DOCUMENTS_SCHEMA, N_BUCKETS_DEFAULT
+
+
+def stream_documents(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Incremental parquet source for the interleaved-documents shape.
+    ``path`` may be a directory or a glob (a single file works too).
+    ``max_files_per_trigger`` bounds micro-batch size — the streaming
+    analog of ``spark.sql.files.maxPartitionBytes`` backpressure."""
+    reader = spark.readStream.schema(DOCUMENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def streaming_violations(
+    docs: DataFrame, n_buckets: int = N_BUCKETS_DEFAULT
+) -> DataFrame:
+    """Row-scope violations over a streaming documents frame — the
+    exact batch expressions (no Python, no state), so every micro-batch
+    is one codegen'd projection. Uniqueness/referential need global
+    state and stay in the batch/resume tier by design (SURVEY.md
+    §2.11); a streaming uniqueness would be applyInPandasWithState
+    keyed by doc_id."""
+    return (
+        docs.withColumn(
+            "partition_id", stable_partition_id(F.col("doc_id"), n_buckets)
+        )
+        .select(
+            "partition_id",
+            "doc_id",
+            F.explode(exprs.span_violations(F.col("spans"))).alias("v"),
+        )
+        .select(
+            "partition_id",
+            "doc_id",
+            F.col("v.constraint_id").alias("constraint_id"),
+            F.col("v.field").alias("field"),
+            F.col("v.message").alias("message"),
+        )
+    )
+
+
+def windowed_violation_counts(
+    violations: DataFrame,
+    ts_col: str = "event_ts",
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Stateful tier: violations per (event-time window, constraint) —
+    watermarked so state for closed windows is dropped instead of
+    growing without bound (the 100 TB/day operational rollup shape)."""
+    return (
+        violations.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), F.col("constraint_id"))
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "constraint_id",
+            "n_violations",
+        )
+    )
+
+
+def run_streaming_validation(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    n_buckets: int = N_BUCKETS_DEFAULT,
+):
+    """Drain-and-stop deployment shape: stream the input backlog,
+    validate, append violation rows to a parquet sink with
+    exactly-once checkpointing, terminate when caught up. On a cluster
+    the same call with ``trigger(processingTime=...)`` runs forever."""
+    docs = stream_documents(spark, input_path)
+    out = streaming_violations(docs, n_buckets)
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
