@@ -138,3 +138,35 @@ def test_ivf_probe_scan_is_partition_pruned(spark):
     assert [(r.vec_id, r.cos_sim) for r in probe.collect()] == [
         (r.vec_id, r.cos_sim) for r in flat.collect()
     ]
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """Two tables bucketed on the join key must SortMergeJoin with NO
+    Exchange on either side (the repeated-large-join layout for 100 TB;
+    broadcast disabled to prove it's the bucketing, not a small side)."""
+    from biosample_enricher_spark.sources.bucketed import (
+        read_table,
+        write_bucketed,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    enrich = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.length("text").alias("text_len")
+    )
+    write_bucketed(docs, "b_docs", "/tmp/bucketed_docs", "doc_id", 8)
+    write_bucketed(enrich, "b_enrich", "/tmp/bucketed_enrich", "doc_id", 8)
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = read_table(spark, "b_docs").join(
+            read_table(spark, "b_enrich"), "doc_id"
+        )
+        p = plan(joined)
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p
+        assert joined.count() == docs.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
