@@ -49,9 +49,17 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--synthesize", type=int, metavar="N_DOCS",
                    help="ignore --input path contents and synthesize N "
                         "documents deterministically (demo/bench mode)")
+    p.add_argument("--streaming", action="store_true",
+                   help="validate --input via the Structured Streaming "
+                        "tier: drain the backlog with availableNow, "
+                        "append violations to --violations-out with "
+                        "exactly-once sink checkpointing (row-scope "
+                        "constraints only; see streaming/validate.py)")
     args = p.parse_args(argv)
     if not args.input and not args.synthesize:
         p.error("one of --input or --synthesize is required")
+    if args.streaming and (not args.input or not args.violations_out):
+        p.error("--streaming requires --input and --violations-out")
     return args
 
 
@@ -68,6 +76,26 @@ def main(argv: list[str]) -> None:
     # under spark-submit the session/master is provided by the launcher
     spark = SparkSession.builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    if args.streaming:
+        from biosample_enricher_spark.streaming import run_streaming_validation
+
+        t0 = time.perf_counter()
+        run_streaming_validation(
+            spark,
+            args.input,
+            args.violations_out,
+            f"{args.checkpoint.rstrip('/')}_stream",
+            n_buckets=args.n_buckets,
+        )
+        n_viol = spark.read.parquet(args.violations_out).count()
+        print(json.dumps({
+            "run_id": args.run_id,
+            "mode": "streaming",
+            "violations_written": n_viol,
+            "elapsed_sec": round(time.perf_counter() - t0, 3),
+        }))
+        return
 
     if args.synthesize:
         docs = gen_documents(spark, args.synthesize, GenParams(seed=42))
