@@ -224,11 +224,20 @@ def simhash(text: Column) -> Column:
     """64-bit SimHash as pure Column expressions — no Python boundary.
 
     One fold over the token hashes carries a 64-slot vote array
-    (``+1``/``-1`` per bit via ``getbit``); the signature packs the
-    positive votes with ``shiftleft`` + OR (bit 63 = sign bit stays
-    JVM-side, no Python ``1 << 63`` literal). Empty/null docs map to
-    signature 0 — excluded from candidate bucketing (they are exact
-    dups of each other and belong to the exact-dedup tier).
+    (``+1``/``-1`` per bit via ``getbit``); a second fold packs the
+    positive votes into the signature with ``shiftleft`` + OR (bit 63 =
+    sign bit stays JVM-side, no Python ``1 << 63`` literal).
+
+    CRITICAL expression-shape constraint: the vote array is referenced
+    EXACTLY ONCE. An earlier formulation read ``element_at(votes, b)``
+    64 times; Catalyst has no cross-subtree CSE once an expression this
+    large falls back to interpreted mode, so the whole token fold was
+    re-evaluated 64× per row (≈100× slowdown, measured). The pack step
+    is therefore itself a fold over ``zip_with(votes, 0..63)``.
+
+    Empty/null docs map to signature 0 (empty fold → all-zero votes →
+    no positive bits; null text → coalesce) — excluded from candidate
+    bucketing, they belong to the exact-dedup tier.
     """
     tokens = F.filter(
         F.split(normalize_for_fingerprint(text), " "), lambda w: w != ""
@@ -239,15 +248,19 @@ def simhash(text: Column) -> Column:
         F.array_repeat(F.lit(0), 64),
         lambda acc, h: F.transform(acc, lambda v, i: v + F.getbit(h, i) * 2 - 1),
     )
-    sig = F.lit(0).cast("long")
-    for b in range(64):
-        bit = F.when(F.element_at(votes, b + 1) > 0, F.lit(1)).otherwise(
-            F.lit(0)
-        ).cast("long")
-        sig = sig.bitwiseOR(F.shiftleft(bit, b))
-    return F.when(
-        tokens.isNull() | (F.size(tokens) == 0), F.lit(0).cast("long")
-    ).otherwise(sig)
+    bits = F.zip_with(
+        votes,
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda v, b: F.when(
+            v > 0, F.call_function("shiftleft", F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    sig = F.aggregate(
+        bits,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+    return F.coalesce(sig, F.lit(0).cast("long"))
 
 
 def simhash_near_duplicates(
