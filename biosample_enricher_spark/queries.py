@@ -1918,3 +1918,32 @@ def streaming_validation(spark, sf_dir):
     )
     q_stream.awaitTermination()
     return spark.table(name)
+
+
+@q(
+    "j2_realignment_join",
+    """
+    SELECT d.doc_id, d.lang, r.req_rank
+    FROM documents d
+    JOIN (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY doc_id DESC) AS req_rank
+      FROM documents WHERE doc_id % 7 = 0
+    ) r ON d.doc_id = r.doc_id
+    """,
+)
+def j2_realignment_join(spark, sf_dir):
+    """J2: re-alignment equi-join — fetched documents joined back to
+    the request list's positions so results line up with the original
+    id order (adapters.py batch fetch re-alignment)."""
+    d = t(spark, sf_dir, "documents")
+    req = (
+        d.where(F.col("doc_id") % 7 == 0)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.col("doc_id").desc()))
+            .alias("req_rank"),
+        )
+    )
+    return d.join(req, "doc_id").select("doc_id", "lang", "req_rank")
