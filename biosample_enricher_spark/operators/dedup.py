@@ -80,7 +80,7 @@ def jaccard_candidates(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    df_cap: int | None = 10_000,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by exact n-gram Jaccard, candidate-pruned via an
     inverted shingle index: only doc pairs sharing ≥1 shingle are
@@ -96,7 +96,10 @@ def jaccard_candidates(
     unaffected for near-dup pairs sharing at least one sub-cap shingle
     (near-identical docs share many); the reported jaccard counts only
     surviving shared shingles, i.e. it is a lower bound, so no false
-    positives are introduced. Pass ``df_cap=None`` to disable.
+    positives are introduced. Default is ``None`` (exact) so the
+    function is a true Jaccard oracle out of the box — web-scale call
+    sites opt in (e.g. ``df_cap=10_000``) where the quadratic-reducer
+    guard matters more than exactness.
     """
     shingled = df.select(
         F.col(id_col).alias("doc_id"),

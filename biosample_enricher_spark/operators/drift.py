@@ -153,26 +153,42 @@ def tv_from_histograms(
         F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
     )
     # whole-frame window over the tiny aggregated histogram (|buckets|
-    # rows) to turn counts into probabilities before the final fold
+    # rows) to turn counts into probabilities before the final fold.
+    # Zero-mass guard (nullif → null division → coalesce 0) keeps the
+    # per-bucket math defined; the degenerate verdicts are pinned
+    # explicitly below: one empty side = maximal drift (tv 1.0, fails),
+    # both empty = no evidence of drift (tv 0.0, passes) — never a null
+    # passed column.
     w = Window.partitionBy()
     probs = joined.select(
         "n_base",
         "n_cur",
         (
-            F.col("n_base") / F.sum("n_base").over(w)
-            - F.col("n_cur") / F.sum("n_cur").over(w)
+            F.coalesce(
+                F.col("n_base") / F.nullif(F.sum("n_base").over(w), F.lit(0)),
+                F.lit(0.0),
+            )
+            - F.coalesce(
+                F.col("n_cur") / F.nullif(F.sum("n_cur").over(w), F.lit(0)),
+                F.lit(0.0),
+            )
         ).alias("pdiff"),
     )
     tot = probs.groupBy().agg(
-        F.sum("n_base").alias("na"),
-        F.sum("n_cur").alias("nb"),
-        F.sum(F.abs(F.col("pdiff"))).alias("_absdiff"),
+        F.coalesce(F.sum("n_base"), F.lit(0)).alias("na"),
+        F.coalesce(F.sum("n_cur"), F.lit(0)).alias("nb"),
+        F.coalesce(F.sum(F.abs(F.col("pdiff"))), F.lit(0.0)).alias("_absdiff"),
+    )
+    tv = (
+        F.when((F.col("na") == 0) & (F.col("nb") == 0), F.lit(0.0))
+        .when((F.col("na") == 0) | (F.col("nb") == 0), F.lit(1.0))
+        .otherwise(F.col("_absdiff") / 2)
     )
     return tot.select(
         F.lit(constraint_id).alias("constraint_id"),
-        (F.col("_absdiff") / 2).alias("tv_stat"),
+        tv.alias("tv_stat"),
         F.col("na").cast("long").alias("n_base"),
         F.col("nb").cast("long").alias("n_cur"),
         F.lit(float(threshold)).alias("threshold"),
-        ((F.col("_absdiff") / 2) <= threshold).alias("passed"),
+        (tv <= threshold).alias("passed"),
     )

@@ -22,6 +22,15 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from ..spec import STRIP_WHITESPACE
+
+
+def _strip(c: Column) -> Column:
+    """Whitespace strip matching the reference's ``str.strip()`` — the
+    full ``spec.STRIP_WHITESPACE`` class, not ``F.trim``'s 0x20-only
+    (same parity contract as constraints/exprs.py:51)."""
+    return F.btrim(c, F.lit(STRIP_WHITESPACE))
+
 # The reference's 50-state set (evaluator.py:369-420).
 US_STATES: tuple[str, ...] = (
     "Alabama", "Alaska", "Arizona", "Arkansas", "California", "Colorado",
@@ -56,12 +65,12 @@ def parse_geo_loc_name(geo: Column) -> Column:
       USA/CANADA/MEXICO, else a locality; empty/null → all null.
     """
     has_colon = geo.contains(":")
-    country_part = F.trim(F.substring_index(geo, ":", 1))
+    country_part = _strip(F.substring_index(geo, ":", 1))
     # everything after the FIRST colon (split limit 2 keeps later
     # colons); F.get → NULL when there is no colon (ANSI-safe)
     rest = F.get(F.split(geo, ":", 2), 1)
     has_comma = rest.contains(",")
-    parts = F.transform(F.split(rest, ",", -1), lambda p: F.trim(p))
+    parts = F.transform(F.split(rest, ",", -1), lambda p: _strip(p))
     # F.get is out-of-bounds-null regardless of ANSI mode (element_at
     # would throw under spark.sql.ansi.enabled on a 1-part rest)
     p0 = F.get(parts, 0)
@@ -70,7 +79,7 @@ def parse_geo_loc_name(geo: Column) -> Column:
     is_usa = F.upper(country_part) == "USA"
     p1_is_state = p1.isin(*US_STATES)
 
-    bare = F.trim(geo)
+    bare = _strip(geo)
     bare_is_country = F.upper(bare).isin(*_BARE_COUNTRIES)
 
     country = (
@@ -83,7 +92,7 @@ def parse_geo_loc_name(geo: Column) -> Column:
             has_colon & two_ok,
             F.when(is_usa & p1_is_state, p1).otherwise(p0),
         )
-        .when(has_colon & ~has_comma & (F.trim(rest) != ""), F.trim(rest))
+        .when(has_colon & ~has_comma & (_strip(rest) != ""), _strip(rest))
         .otherwise(F.lit(None).cast("string"))
     )
     locality = (

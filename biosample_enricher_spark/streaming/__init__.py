@@ -1,4 +1,5 @@
 from .validate import (
+    read_violations,
     run_streaming_validation,
     stream_documents,
     streaming_violations,
@@ -6,6 +7,7 @@ from .validate import (
 )
 
 __all__ = [
+    "read_violations",
     "run_streaming_validation",
     "stream_documents",
     "streaming_violations",

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..constraints import exprs
 from ..constraints.core import stable_partition_id
-from ..spec import DOCUMENTS_SCHEMA, N_BUCKETS_DEFAULT
+from ..spec import DOCUMENTS_SCHEMA, N_BUCKETS_DEFAULT, VIOLATIONS_SCHEMA
 
 
 def stream_documents(
@@ -90,6 +90,14 @@ def windowed_violation_counts(
             "n_violations",
         )
     )
+
+
+def read_violations(spark: SparkSession, path: str) -> DataFrame:
+    """Batch-read a streaming violation sink with the explicit schema.
+    A clean backlog appends zero rows, leaving only ``_spark_metadata``
+    in the sink dir; schema inference would raise AnalysisException
+    after a *successful* validation, so the schema is always pinned."""
+    return spark.read.schema(VIOLATIONS_SCHEMA).parquet(path)
 
 
 def run_streaming_validation(

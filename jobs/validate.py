@@ -88,7 +88,9 @@ def main(argv: list[str]) -> None:
             f"{args.checkpoint.rstrip('/')}_stream",
             n_buckets=args.n_buckets,
         )
-        n_viol = spark.read.parquet(args.violations_out).count()
+        from biosample_enricher_spark.streaming import read_violations
+
+        n_viol = read_violations(spark, args.violations_out).count()
         print(json.dumps({
             "run_id": args.run_id,
             "mode": "streaming",

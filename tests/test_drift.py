@@ -99,3 +99,36 @@ def test_tv_distance_identical_and_disjoint(spark):
         hist([("a", 50), ("b", 50)]), hist([("a", 25), ("b", 75)]), "tv", "bucket"
     ).first()
     assert abs(r.tv_stat - 0.25) < 1e-12
+
+
+def test_tv_zero_mass_sides_have_defined_verdicts(spark):
+    """ADVICE r2: an empty/all-zero histogram side must yield a defined
+    verdict — one empty side pins tv=1.0 (fails), both empty pins
+    tv=0.0 (passes) — never a null tv_stat/passed."""
+    from pyspark.sql import functions as F
+
+    from biosample_enricher_spark.operators.drift import tv_from_histograms
+
+    def hist(pairs):
+        arr = F.array(*[
+            F.struct(F.lit(b).alias("bucket"), F.lit(n).alias("n"))
+            for b, n in pairs
+        ])
+        return (
+            spark.range(1)
+            .select(F.explode(arr).alias("x"))
+            .select("x.bucket", "x.n")
+        )
+
+    full = hist([("a", 10), ("b", 30)])
+    empty = full.where(F.lit(False))
+    zero_mass = hist([("a", 0), ("b", 0)])
+
+    r = tv_from_histograms(empty, full, "tv", "bucket").first()
+    assert r.tv_stat == 1.0 and r.passed is False and r.n_base == 0
+
+    r = tv_from_histograms(full, zero_mass, "tv", "bucket").first()
+    assert r.tv_stat == 1.0 and r.passed is False and r.n_cur == 0
+
+    r = tv_from_histograms(empty, empty.where(F.lit(False)), "tv", "bucket").first()
+    assert r.tv_stat == 0.0 and r.passed is True

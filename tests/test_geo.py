@@ -33,6 +33,11 @@ PARSE_CASES = [
     ("USA: Boston, Massachusetts, Suffolk", "USA", "Massachusetts", "Boston"),
     # second colon stays inside rest
     ("USA:区: test, Utah", "USA", "Utah", "区: test"),
+    # ADVICE r2: tab/newline padding must strip like the reference's
+    # .strip() (full spec.STRIP_WHITESPACE class, not 0x20 only)
+    ("\tUSA :\n Anchorage ,\tAlaska \x0b\n", "USA", "Alaska", "Anchorage"),
+    ("\n France :\tParis\r", "France", "Paris", None),
+    ("\t usa \n", "usa", None, None),
 ]
 
 

@@ -113,3 +113,23 @@ def test_windowed_violation_counts_with_watermark(spark, corpus_dir):
     }
     assert got == expected
     assert len(got) >= 10  # multiple windows actually exercised
+
+
+def test_clean_backlog_empty_sink_reads_as_zero(spark):
+    """ADVICE r2: a violation-free corpus leaves only _spark_metadata
+    in the sink dir; read_violations must return 0 rows with the
+    pinned schema instead of failing parquet schema inference."""
+    from biosample_enricher_spark.streaming import read_violations
+
+    corpus = f"{BASE}/clean_corpus"
+    out = f"{BASE}/clean_out"
+    cp = f"{BASE}/clean_cp"
+    gen_documents(spark, 500, GenParams(seed=11).clean()).write.mode(
+        "overwrite"
+    ).parquet(corpus)
+    run_streaming_validation(spark, corpus, out, cp)
+    got = read_violations(spark, out)
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == [
+        "partition_id", "doc_id", "constraint_id", "field", "message",
+    ]
