@@ -1,0 +1,96 @@
+"""Distributed global ranking (two-pass, no single-partition window).
+
+``row_number() OVER (ORDER BY ...)`` with an empty PARTITION BY clause
+funnels the entire input through ONE task — Spark even warns
+``No Partition Defined for Window operation``. Fine for driver-small
+frames; a serialization choke point at 10^12 rows (the r2 VERDICT's one
+flagged anti-pattern, in j2's request-rank).
+
+``distributed_rank`` computes the identical global row_number as a
+composition of shuffle-parallel primitives — the classic two-pass
+distributed sort-rank:
+
+1. range-bucket each row by the order key (min/max from a 1-row
+   broadcast aggregate; the bucket function is monotone in the key, so
+   bucket order == key order),
+2. rank *within* each bucket with a window PARTITIONED by bucket
+   (parallel across buckets),
+3. offset each bucket's local ranks by the total count of rows in all
+   earlier buckets (a ≤``n_buckets``-row aggregate, window'd on the
+   driver-small side and broadcast back).
+
+Only the ≤``n_buckets``-row offset frame ever passes through a single
+partition; the data-sized window shuffles on ``hashpartitioning(bucket)``
+(asserted in tests/test_plans.py).
+
+Reference analog: adapters.py batch-fetch re-alignment assigns request
+positions by enumerating the id list in order; here that enumeration is
+re-expressed as a distributed rank so the request list may itself be a
+table-scale frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def distributed_rank(
+    df: DataFrame,
+    order_col: str,
+    *,
+    ascending: bool = True,
+    n_buckets: int = 64,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Append a global 1-based ``row_number``-equivalent ``rank_col``
+    ordered by ``order_col`` without a single-partition window.
+
+    Requires a non-null, unique numeric order key (ties under a plain
+    ``row_number`` are nondeterministic anyway; with a unique key the
+    result is byte-identical to the global window). Skewed key ranges
+    only skew bucket *sizes*, never correctness — bucket order is
+    monotone in the key by construction.
+    """
+    c = F.col(order_col)
+    stats = df.agg(F.min(c).alias("_rk_lo"), F.max(c).alias("_rk_hi"))
+    # double math keeps the bucket function monotone for any numeric
+    # key width (floor of a monotone map is monotone non-decreasing);
+    # least() guards the x == hi rounding edge
+    span = F.col("_rk_hi").cast("double") - F.col("_rk_lo").cast("double") + 1.0
+    bucket = F.least(
+        F.floor(
+            (c.cast("double") - F.col("_rk_lo").cast("double"))
+            * n_buckets
+            / span
+        ),
+        F.lit(n_buckets - 1),
+    ).cast("int")
+    b = df.join(F.broadcast(stats)).withColumn("_rk_bucket", bucket)
+
+    order = c.asc() if ascending else c.desc()
+    local = F.row_number().over(
+        Window.partitionBy("_rk_bucket").orderBy(order)
+    )
+
+    counts = b.groupBy("_rk_bucket").agg(F.count(F.lit(1)).alias("_rk_n"))
+    bucket_order = (
+        F.col("_rk_bucket").asc() if ascending else F.col("_rk_bucket").desc()
+    )
+    # window over ≤ n_buckets rows — the ONLY single-partition frame
+    off_w = Window.orderBy(bucket_order).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "_rk_bucket",
+        F.coalesce(F.sum("_rk_n").over(off_w), F.lit(0)).alias("_rk_off"),
+    )
+
+    return (
+        b.withColumn("_rk_local", local)
+        .join(F.broadcast(offsets), "_rk_bucket")
+        .withColumn(
+            rank_col, (F.col("_rk_local") + F.col("_rk_off")).cast("int")
+        )
+        .drop("_rk_bucket", "_rk_local", "_rk_off", "_rk_lo", "_rk_hi")
+    )

@@ -73,3 +73,17 @@ def test_rows_only_queries_run(spark, name):
     df = QUERIES[name](spark, "/root/testdata/sf0.001")
     assert df.count() >= 0
     assert len(df.columns) > 0
+
+
+def test_driver_window_ordering():
+    """The 22 queries that registered after the driver's 50-entry
+    cutoff in rounds 1-2 must occupy the front of the registry so
+    CORRECTNESS_r03 finally covers them."""
+    from biosample_enricher_spark.queries import DRIVER_WINDOW, QUERIES
+
+    names = list(QUERIES)
+    assert names[: len(DRIVER_WINDOW)] == DRIVER_WINDOW
+    assert len(DRIVER_WINDOW) <= 50
+    for q in ("j2_realignment_join", "f13_decimal_precision",
+              "drift_tv_lang", "streaming_validation", "a16_quantiles"):
+        assert names.index(q) < 50

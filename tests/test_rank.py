@@ -1,0 +1,84 @@
+"""distributed_rank must equal the single-partition global row_number
+byte-for-byte while shuffling the data-sized window on a bucket key."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from biosample_enricher_spark.operators.rank import distributed_rank
+
+
+def _ids(spark, n, stride=97, offset=13):
+    # non-contiguous, shuffled-ish unique keys (stride coprime to n)
+    return spark.range(n).select(
+        (F.pmod(F.col("id") * stride, F.lit(n)) * 1000 + offset).alias("k")
+    )
+
+
+def _global_rank(df, ascending):
+    order = F.col("k").asc() if ascending else F.col("k").desc()
+    return df.select(
+        "k", F.row_number().over(Window.orderBy(order)).alias("rank")
+    )
+
+
+def test_matches_global_row_number_both_directions(spark):
+    df = _ids(spark, 5_000).repartition(16)
+    for ascending in (True, False):
+        got = {
+            (r.k, r.rank)
+            for r in distributed_rank(df, "k", ascending=ascending).collect()
+        }
+        exp = {
+            (r.k, r.rank) for r in _global_rank(df, ascending).collect()
+        }
+        assert got == exp
+
+
+def test_skewed_and_tiny_inputs(spark):
+    # heavy skew: 90% of keys in one narrow range + far outliers
+    skew = spark.range(1_000).select(
+        F.when(F.col("id") < 900, F.col("id"))
+        .otherwise(F.col("id") * 1_000_000)
+        .alias("k")
+    )
+    got = {(r.k, r.rank) for r in distributed_rank(skew, "k").collect()}
+    exp = {(r.k, r.rank) for r in _global_rank(skew, True).collect()}
+    assert got == exp
+
+    # single row and two rows (min == max edge)
+    one = spark.range(1).select(F.lit(42).alias("k"))
+    assert distributed_rank(one, "k").first().rank == 1
+
+    two = spark.range(2).select((F.col("id") + 7).alias("k"))
+    got = sorted(
+        (r.k, r.rank)
+        for r in distributed_rank(two, "k", ascending=False).collect()
+    )
+    assert got == [(7, 2), (8, 1)]
+
+
+def test_data_window_is_bucket_partitioned(spark):
+    """The data-sized row_number window must shuffle on the bucket key;
+    the only SinglePartition frame is the <= n_buckets offset agg."""
+    df = _ids(spark, 2_000).repartition(8)
+    ranked = distributed_rank(df, "k")
+    p = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(_rk_bucket" in p
+    # the global-window anti-pattern would put row_number over an empty
+    # partition spec: Window [row_number() ... ] with no partition cols
+    for line in p.splitlines():
+        if "row_number()" in line:
+            assert "_rk_bucket" in line
+
+
+def test_j2_uses_distributed_rank(spark):
+    from biosample_enricher_spark.queries import QUERIES
+
+    df = QUERIES["j2_realignment_join"](spark, "/root/testdata/sf0.001")
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(_rk_bucket" in p
+    # spot-check rank semantics: largest matching doc_id has rank 1
+    rows = df.orderBy(F.col("doc_id").desc()).limit(3).collect()
+    assert [r.req_rank for r in rows] == [1, 2, 3]
