@@ -1953,6 +1953,70 @@ def j2_realignment_join(spark, sf_dir):
     return d.join(req, "doc_id").select("doc_id", "lang", "req_rank")
 
 
+
+@q(
+    "schema_infer_documents",
+    """
+    WITH c AS (
+      SELECT count(*) AS total,
+             count(doc_id) AS p0, count(text) AS p1, count(lang) AS p2,
+             count(source) AS p3, count(n_chars) AS p4
+      FROM documents
+    )
+    SELECT field, json_type, present_docs, total_docs, required FROM (
+      SELECT 'doc_id' AS field, 'integer' AS json_type,
+             p0 AS present_docs, total AS total_docs,
+             (total > 0 AND p0 = total) AS required FROM c
+      UNION ALL SELECT 'text', 'string', p1, total,
+             (total > 0 AND p1 = total) FROM c
+      UNION ALL SELECT 'lang', 'string', p2, total,
+             (total > 0 AND p2 = total) FROM c
+      UNION ALL SELECT 'source', 'string', p3, total,
+             (total > 0 AND p3 = total) FROM c
+      UNION ALL SELECT 'n_chars', 'integer', p4, total,
+             (total > 0 AND p4 = total) FROM c
+    ) ORDER BY field
+    """,
+)
+def schema_infer_documents(spark, sf_dir):
+    """Inferred-JSON-Schema tabular face: per top-level field, the
+    genson type mapping and required verdict (present in every doc),
+    from ONE distributed counting pass (schema_inference.py:50-66
+    analog; full document artifact in schema_json_interleaved)."""
+    from .operators.schema_infer import field_presence
+
+    return field_presence(t(spark, sf_dir, "documents")).orderBy("field")
+
+
+@q("schema_json_interleaved")
+def schema_json_interleaved(spark, sf_dir):
+    """Full inferred JSON Schema document (draft 2020-12, genson
+    output shape) over the interleaved span lift of the documents
+    table — nested object/array `required` lists computed by the
+    single-pass HOF counting aggregation. Rows-only: DuckDB has no
+    JSON-Schema builder; correctness is pinned against a local genson
+    model in tests/test_schema_infer.py."""
+    from .operators.schema_infer import infer_json_schema_df
+
+    flat = t(spark, sf_dir, "documents")
+    is_media = F.col("doc_id") % 5 == 0
+    docs = flat.select(
+        F.format_string("doc-%012d", F.col("doc_id")).alias("doc_id"),
+        F.array(
+            F.struct(
+                F.when(is_media, "image").otherwise("text").alias("kind"),
+                F.when(~is_media, F.col("text")).alias("text"),
+                F.when(is_media, F.concat(F.lit("asset-"), F.col("doc_id"))).alias(
+                    "media_ref"
+                ),
+                F.lit(0).cast("int").alias("offset"),
+            )
+        ).alias("spans"),
+        F.when(F.col("lang") != "en", F.col("lang")).alias("lang_hint"),
+    )
+    return infer_json_schema_df(docs)
+
+
 # --- driver CORRECTNESS window ordering ---------------------------------------
 #
 # The external driver oracle-checks the FIRST 50 registered queries per
@@ -2014,7 +2078,9 @@ DRIVER_WINDOW: list[str] = [
     "text_lang_id",
     "dedup_exact_groups",
     "ann_bruteforce_topk",
-    # new round-3 queries are appended here as they land (4 free slots)
+    "schema_infer_documents",
+    "schema_json_interleaved",
+    # new round-3 queries are appended here as they land (2 free slots)
 ]
 
 
