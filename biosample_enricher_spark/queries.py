@@ -2017,6 +2017,68 @@ def schema_json_interleaved(spark, sf_dir):
     return infer_json_schema_df(docs)
 
 
+
+@q(
+    "streaming_uniqueness",
+    """
+    SELECT 'doc-' || printf('%012d', doc_id) AS doc_id,
+           'doc_id_unique' AS constraint_id,
+           'doc_id' AS field,
+           'duplicate doc_id: occurrence 2' AS message
+    FROM documents WHERE doc_id % 3 = 0
+    ORDER BY doc_id
+    """,
+)
+def streaming_uniqueness(spark, sf_dir):
+    """Stateful in-stream uniqueness on driver data: the documents
+    table arrives as micro-batch 1, a doc_id%3==0 subset re-arrives as
+    micro-batch 2 (file mtimes force the order), and
+    ``streaming_duplicate_violations`` (applyInPandasWithState keyed by
+    doc_id) must flag exactly the second occurrences — an exact SQL
+    oracle, unlike most stateful streaming ops. Cross-batch resume
+    semantics are pinned separately in tests/test_streaming.py."""
+    import os
+    import shutil
+    import time
+
+    from .streaming import streaming_duplicate_violations
+
+    flat = t(spark, sf_dir, "documents").select(
+        F.format_string("doc-%012d", F.col("doc_id")).alias("doc_id"),
+        (F.col("doc_id") % 3 == 0).alias("is_dup"),
+    )
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    base = f"/tmp/stream_uniq_{sf_tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    src = f"{base}/src"
+    flat.select("doc_id").coalesce(1).write.parquet(f"{src}/b1")
+    flat.where("is_dup").select("doc_id").coalesce(1).write.parquet(
+        f"{src}/b2"
+    )
+    now = time.time()
+    for i, sub in enumerate(["b1", "b2"]):
+        d = f"{src}/{sub}"
+        for f in os.listdir(d):
+            os.utime(f"{d}/{f}", (now + i, now + i))
+    stream = (
+        spark.readStream.schema("doc_id string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/*.parquet")
+    )
+    name = f"stream_uniq_{sf_tag}"
+    q_stream = (
+        streaming_duplicate_violations(stream)
+        .drop("partition_id")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_stream.awaitTermination()
+    return spark.table(name).orderBy("doc_id")
+
+
 # --- driver CORRECTNESS window ordering ---------------------------------------
 #
 # The external driver oracle-checks the FIRST 50 registered queries per
@@ -2080,7 +2142,8 @@ DRIVER_WINDOW: list[str] = [
     "ann_bruteforce_topk",
     "schema_infer_documents",
     "schema_json_interleaved",
-    # new round-3 queries are appended here as they land (2 free slots)
+    "streaming_uniqueness",
+    # new round-3 queries are appended here as they land (1 free slot)
 ]
 
 

@@ -2,6 +2,7 @@ from .validate import (
     read_violations,
     run_streaming_validation,
     stream_documents,
+    streaming_duplicate_violations,
     streaming_violations,
     windowed_violation_counts,
 )
@@ -10,6 +11,7 @@ __all__ = [
     "read_violations",
     "run_streaming_validation",
     "stream_documents",
+    "streaming_duplicate_violations",
     "streaming_violations",
     "windowed_violation_counts",
 ]

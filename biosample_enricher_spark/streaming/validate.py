@@ -25,7 +25,12 @@ from pyspark.sql import functions as F
 
 from ..constraints import exprs
 from ..constraints.core import stable_partition_id
-from ..spec import DOCUMENTS_SCHEMA, N_BUCKETS_DEFAULT, VIOLATIONS_SCHEMA
+from ..spec import (
+    C_DOC_ID_UNIQUE,
+    DOCUMENTS_SCHEMA,
+    N_BUCKETS_DEFAULT,
+    VIOLATIONS_SCHEMA,
+)
 
 
 def stream_documents(
@@ -48,10 +53,9 @@ def streaming_violations(
 ) -> DataFrame:
     """Row-scope violations over a streaming documents frame — the
     exact batch expressions (no Python, no state), so every micro-batch
-    is one codegen'd projection. Uniqueness/referential need global
-    state and stay in the batch/resume tier by design (SURVEY.md
-    §2.11); a streaming uniqueness would be applyInPandasWithState
-    keyed by doc_id."""
+    is one codegen'd projection. Referential needs the asset catalog
+    and stays in the batch/resume tier; in-stream uniqueness is the
+    stateful ``streaming_duplicate_violations`` below."""
     return (
         docs.withColumn(
             "partition_id", stable_partition_id(F.col("doc_id"), n_buckets)
@@ -89,6 +93,79 @@ def windowed_violation_counts(
             "constraint_id",
             "n_violations",
         )
+    )
+
+
+def streaming_duplicate_violations(
+    docs: DataFrame,
+    n_buckets: int = N_BUCKETS_DEFAULT,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """In-stream doc_id uniqueness: the stateful tier the row-scope
+    expressions can't cover (``streaming_violations`` docstring notes
+    the gap). ``applyInPandasWithState`` keyed by doc_id keeps one
+    per-key occurrence counter; every occurrence after the first emits
+    one violation row *in the micro-batch where it arrives* — a
+    duplicate landing three batches later is still caught, exactly
+    once, and survives checkpoint resume (pinned in
+    tests/test_streaming.py).
+
+    State size is one long per distinct in-flight doc_id; pass
+    ``state_ttl_ms`` to expire idle keys with a processing-time timeout
+    (the 100 TB-ingest bound — dupes older than the TTL fall back to
+    the batch/resume uniqueness pass, which is authoritative).
+
+    Message diverges from the batch tier deliberately: batch knows the
+    final total ("duplicate doc_id: N occurrences"); a stream only
+    knows the running count at arrival ("duplicate doc_id: occurrence
+    K"). The batch suite remains the source of truth for totals.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    cols = [f.name for f in VIOLATIONS_SCHEMA.fields]
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def track(key: tuple, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(columns=cols)
+            return
+        (doc_id,) = key
+        seen = state.get[0] if state.exists else 0
+        rows: list[tuple] = []
+        for pdf in pdfs:
+            for pid in pdf["partition_id"]:
+                seen += 1
+                if seen > 1:
+                    rows.append(
+                        (
+                            int(pid),
+                            doc_id,
+                            C_DOC_ID_UNIQUE,
+                            "doc_id",
+                            f"duplicate doc_id: occurrence {seen}",
+                        )
+                    )
+        state.update((seen,))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
+        yield pd.DataFrame(rows, columns=cols)
+
+    keyed = docs.select(
+        "doc_id",
+        stable_partition_id(F.col("doc_id"), n_buckets).alias("partition_id"),
+    )
+    return keyed.groupBy("doc_id").applyInPandasWithState(
+        track,
+        outputStructType=VIOLATIONS_SCHEMA,
+        stateStructType="seen long",
+        outputMode="append",
+        timeoutConf=timeout,
     )
 
 

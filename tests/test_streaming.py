@@ -133,3 +133,82 @@ def test_clean_backlog_empty_sink_reads_as_zero(spark):
     assert [f.name for f in got.schema.fields] == [
         "partition_id", "doc_id", "constraint_id", "field", "message",
     ]
+
+
+def _write_id_file(path, ids):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.string())}), path)
+
+
+def _drain_uniqueness(spark, src, out, cp):
+    from biosample_enricher_spark.streaming import (
+        streaming_duplicate_violations,
+    )
+
+    stream = (
+        spark.readStream.schema("doc_id string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_duplicate_violations(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_streaming_uniqueness_across_microbatches(spark):
+    """A duplicate arriving in a LATER micro-batch must yield exactly
+    one violation row, and state must survive a checkpoint resume: a
+    post-resume duplicate continues the occurrence count instead of
+    restarting it."""
+    import os
+    import time
+
+    from biosample_enricher_spark.streaming import read_violations
+
+    base = f"{BASE}/uniq"
+    src, out, cp = f"{base}/src", f"{base}/out", f"{base}/cp"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(src)
+    now = time.time()
+    # f1: doc-3 duplicated WITHIN one batch; f2/f3: dupes across batches
+    _write_id_file(f"{src}/f1.parquet", ["doc-1", "doc-2", "doc-3", "doc-3"])
+    _write_id_file(f"{src}/f2.parquet", ["doc-3", "doc-5"])
+    _write_id_file(f"{src}/f3.parquet", ["doc-5", "doc-3", "doc-9"])
+    for i, f in enumerate(["f1", "f2", "f3"]):
+        os.utime(f"{src}/{f}.parquet", (now + i, now + i))
+
+    _drain_uniqueness(spark, src, out, cp)
+    got = sorted(
+        (r.doc_id, r.message) for r in read_violations(spark, out).collect()
+    )
+    assert got == [
+        ("doc-3", "duplicate doc_id: occurrence 2"),
+        ("doc-3", "duplicate doc_id: occurrence 3"),
+        ("doc-3", "duplicate doc_id: occurrence 4"),
+        ("doc-5", "duplicate doc_id: occurrence 2"),
+    ]
+    for r in read_violations(spark, out).collect():
+        assert r.constraint_id == "doc_id_unique" and r.field == "doc_id"
+
+    # re-drain with nothing new: exactly-once, zero additional rows
+    _drain_uniqueness(spark, src, out, cp)
+    assert read_violations(spark, out).count() == 4
+
+    # resume: a NEW file with an old key continues its counter from
+    # the checkpointed state (occurrence 5, not 2)
+    _write_id_file(f"{src}/f4.parquet", ["doc-3", "doc-10"])
+    os.utime(f"{src}/f4.parquet", (now + 10, now + 10))
+    _drain_uniqueness(spark, src, out, cp)
+    new = sorted(
+        (r.doc_id, r.message) for r in read_violations(spark, out).collect()
+    )
+    assert new == sorted(got + [("doc-3", "duplicate doc_id: occurrence 5")])
