@@ -137,14 +137,27 @@ def pairwise_near_neighbors(
     embeddings: DataFrame,
     threshold: float = 0.95,
     n_planes: int = 16,
+    n_bands: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
     seed: int = 7,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: SRP-bucket equijoin for
-    candidates (exact sketch match ⇒ same half-space for every plane),
-    then exact cosine verify. Returns (id_a, id_b, cos_sim ≥ threshold)."""
+    """Embedding-cosine near-duplicate pairs, SRP-banded like the
+    MinHash LSH (dedup.py lsh_candidate_pairs): the n_planes-bit
+    sketch splits into ``n_bands`` bands; docs agreeing on ANY full
+    band become candidates, then exact cosine verifies ≥ threshold.
+    Returns (id_a, id_b, cos_sim), id_a < id_b.
+
+    Banding fixes the r2 VERDICT recall cliff of exact whole-sketch
+    equality: at cos 0.95 a bit agrees w.p. ≈0.9, so 16 identical bits
+    happen ≈19% of the time, while ≥1-of-4 4-bit bands agree ≈98.5%
+    (recall floor pinned in tests/test_dedup_similarity.py).
+    ``n_bands=1`` degenerates to the old exact-sketch join. Shuffle
+    cost: docs × n_bands small rows; vectors rejoin only for the
+    candidate pairs."""
+    assert n_planes % n_bands == 0, "n_planes must divide into n_bands"
+    r = n_planes // n_bands
     if dim is None:
         first = embeddings.select(F.size(vec_col).alias("d")).first()
         dim = int(first["d"])
@@ -154,18 +167,40 @@ def pairwise_near_neighbors(
         F.col(vec_col).alias("vec"),
         srp_sketch(F.col(vec_col), planes).alias("sketch"),
     )
-    a = sk.alias("a")
-    b = sk.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.sketch") == F.col("b.sketch"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    if r >= 64:
+        band_vals = F.array(F.col("sketch"))
+    else:
+        mask = F.lit((1 << r) - 1).cast("long")
+        band_vals = F.array(
+            *[
+                F.shiftrightunsigned(F.col("sketch"), b * r).bitwiseAND(mask)
+                for b in range(n_bands)
+            ]
         )
+    banded = sk.select(
+        "doc_id", F.posexplode(band_vals).alias("band", "bucket")
+    )
+    x = banded.alias("x")
+    y = banded.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
+        .distinct()
+    )
+    va = sk.select(F.col("doc_id").alias("id_a"), F.col("vec").alias("_va"))
+    vb = sk.select(F.col("doc_id").alias("id_b"), F.col("vec").alias("_vb"))
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("cos_sim"),
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )
@@ -179,14 +214,23 @@ def ivf_assign(
     centroids: list[tuple[int, list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_inline: int = 64,
 ) -> DataFrame:
-    """Assign every vector to its nearest centroid (max cosine).
+    """Assign every vector to its nearest centroid (max cosine; ties
+    break to the larger centroid_id in BOTH paths).
 
-    The centroid table is tiny and inlined as literal expressions —
-    the assignment is a single codegen'd projection, no join, no
-    shuffle. At ingest this materializes the inverted lists:
-    ``(centroid_id, vec_id, embedding)`` partitioned/sorted by
-    centroid_id so a probe scan prunes to nprobe lists."""
+    Small centroid counts inline as literal expressions — a single
+    codegen'd projection, no join, no shuffle. Past ``max_inline`` the
+    literal tree grows linearly with k and falls out of codegen (r2
+    VERDICT watch-list), so the broadcast-join path takes over: explode
+    against a broadcast centroid dimension, partial-aggregated
+    ``max(struct(sim, cid))`` per vector — the shuffle carries ONE row
+    per vector thanks to map-side combine, at any k. At ingest this
+    materializes the inverted lists: ``(centroid_id, vec_id,
+    embedding)`` partitioned/sorted by centroid_id so a probe scan
+    prunes to nprobe lists."""
+    if len(centroids) > max_inline:
+        return _ivf_assign_join(embeddings, centroids, id_col, vec_col)
     best = None
     for cid, cvec in centroids:
         q = F.array(*[F.lit(float(v)) for v in cvec])
@@ -200,6 +244,52 @@ def ivf_assign(
         F.col(vec_col),
         best["cid"].alias("centroid_id"),
         F.round(best["sim"], 6).alias("centroid_sim"),
+    )
+
+
+def _ivf_assign_join(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Join-based assignment for large centroid counts: broadcast the
+    centroid dimension, score every (vector, centroid) pair, reduce to
+    the argmax with ``max(struct(sim, cid, vec))`` — identical results
+    to the literal path (struct comparison orders by sim then cid,
+    matching ``F.greatest``'s lexicographic tie-break)."""
+    spark = embeddings.sparkSession
+    cent_structs = [
+        F.struct(
+            F.lit(int(cid)).alias("cid"),
+            F.array(*[F.lit(float(v)) for v in cvec]).alias("cvec"),
+        )
+        for cid, cvec in centroids
+    ]
+    # explode(array(lits)) instead of createDataFrame: no Python-runner
+    # round trip for the tiny dimension
+    cdf = (
+        spark.range(1)
+        .select(F.explode(F.array(*cent_structs)).alias("c"))
+        .select("c.cid", "c.cvec")
+    )
+    scored = embeddings.join(F.broadcast(cdf)).select(
+        F.col(id_col),
+        F.struct(
+            cosine(F.col(vec_col), F.col("cvec")).alias("sim"),
+            F.col("cid").alias("cid"),
+            F.col(vec_col).alias("vec"),
+        ).alias("s"),
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.max("s").alias("b"))
+        .select(
+            F.col(id_col),
+            F.col("b.vec").alias(vec_col),
+            F.col("b.cid").alias("centroid_id"),
+            F.round(F.col("b.sim"), 6).alias("centroid_sim"),
+        )
     )
 
 
