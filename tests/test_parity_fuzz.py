@@ -24,10 +24,17 @@ TEXTS = st.one_of(
             # class (spec.STRIP_WHITESPACE) — regression for the F.trim
             # (0x20-only) divergence
             "n/a\t", "\nnull ", "\x0bunknown\r", " none\x0c",
+            # NBSP-padded sentinel: NOT in the strip class, so it
+            # must survive normalization as a PRESENT value
+            "\u00a0null\u00a0", "n/a\u3000",
         ]
     ),
     st.text(
-        alphabet="abc XYZ0é中\t\n\r\x0b\x0c",  # incl. accents + CJK + whitespace
+        # accents + CJK + the full ASCII strip class + UNICODE
+        # whitespace (NBSP, ideographic space, line separator) that is
+        # OUTSIDE spec.STRIP_WHITESPACE: all three paths must agree on
+        # NOT stripping it (python str.strip() with no args would)
+        alphabet="abc XYZ0é中\t\n\r\x0b\x0c\u00a0\u3000\u2028",
         min_size=0,
         max_size=12,
     ),

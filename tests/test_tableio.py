@@ -40,3 +40,52 @@ def test_iceberg_identifier_resolution(spark):
     io = resolve_table_io(spark, "iceberg:cat.db.checkpoint")
     assert isinstance(io, IcebergTableIO)
     assert io.table == "cat.db.checkpoint"
+
+
+def test_iceberg_methods_exercise_writer_v2_surface():
+    """r2 VERDICT #5: the iceberg branch was dead code in the sandbox
+    (no runtime jar). Drive every IcebergTableIO method against mocks
+    so the DataFrameWriterV2 call shapes are at least executed:
+    append→writeTo().append() when the table exists, writeTo().create()
+    when it doesn't, overwrite→createOrReplace(), read→spark.table()."""
+    from unittest.mock import MagicMock
+
+    mspark = MagicMock(name="spark")
+    io = IcebergTableIO(mspark, "cat.db.t")
+
+    mspark.catalog.tableExists.return_value = True
+    assert io.exists() is True
+    mspark.catalog.tableExists.assert_called_with("cat.db.t")
+
+    io.read()
+    mspark.table.assert_called_once_with("cat.db.t")
+
+    df = MagicMock(name="df")
+    io.append(df)
+    df.writeTo.assert_called_once_with("cat.db.t")
+    df.writeTo.return_value.append.assert_called_once_with()
+    df.writeTo.return_value.create.assert_not_called()
+
+    mspark.catalog.tableExists.return_value = False
+    df2 = MagicMock(name="df2")
+    io.append(df2)
+    df2.writeTo.return_value.create.assert_called_once_with()
+    df2.writeTo.return_value.append.assert_not_called()
+
+    df3 = MagicMock(name="df3")
+    io.overwrite(df3)
+    df3.writeTo.assert_called_once_with("cat.db.t")
+    df3.writeTo.return_value.createOrReplace.assert_called_once_with()
+
+
+def test_checkpoint_accepts_iceberg_identifier():
+    """The resume tier resolves its checkpoint table through the same
+    surface, so an iceberg: identifier must construct cleanly."""
+    from unittest.mock import MagicMock
+
+    from biosample_enricher_spark.checkpoint import CheckpointTable
+
+    mspark = MagicMock(name="spark")
+    table = CheckpointTable(mspark, "iceberg:cat.db.cp")
+    assert isinstance(table._io, IcebergTableIO)
+    assert table._io.table == "cat.db.cp"
