@@ -92,11 +92,19 @@ def main() -> None:
         return dt, n_viol
 
     # cold = first-ever run (codegen compile, broadcast build, Python
-    # worker spin-up for the Arrow path); warm = steady state
+    # worker spin-up for the Arrow path); warm = steady state, reported
+    # as the MEDIAN of 3 repeats — the sandbox VM shows heavy host
+    # steal (load >10 with zero local CPU users; 10s runs next to 60s
+    # runs of the identical plan), and a single warm sample is as
+    # likely to measure a co-tenant as the engine
+    def median3(use_arrow: bool) -> float:
+        runs = sorted(run_suite(use_arrow)[0] for _ in range(3))
+        return runs[1]
+
     timings["suite"], n_violations = run_suite(False)
-    timings["suite_warm"], _ = run_suite(False)
+    timings["suite_warm"] = median3(False)
     timings["suite_arrow"], _ = run_suite(True)
-    timings["suite_arrow_warm"], _ = run_suite(True)
+    timings["suite_arrow_warm"] = median3(True)
 
     # --- operator-query slice over driver tables ---
     bench_queries = [
@@ -111,9 +119,12 @@ def main() -> None:
         "ann_bruteforce_topk",
     ]
     for name in bench_queries:
-        t0 = time.perf_counter()
-        QUERIES[name](spark, SF_DIR).count()
-        timings[name] = time.perf_counter() - t0
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, SF_DIR).count()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = sorted(runs)[1]
 
     docs.unpersist()
     total = sum(timings.values())
@@ -136,6 +147,8 @@ def main() -> None:
             n_materialized / timings["suite_arrow_warm"], 1
         ),
         "cpus": int(CPUS),
+        "host_load_1m": round(os.getloadavg()[0], 2),
+        "warm_protocol": "median of 3",
     }
     print(json.dumps(out))
     spark.stop()

@@ -165,3 +165,52 @@ def top_k_examples(docs: DataFrame, k: int = 5, salt_buckets: int = 32) -> DataF
             k,
         ).alias("examples")
     )
+
+
+# --- mergeable distinct-count sketches (HLL, datasketches-compatible) ---------
+
+
+def partition_distinct_sketches(
+    docs: DataFrame,
+    col: str = "doc_id",
+    n_buckets: int = N_BUCKETS_DEFAULT,
+    lg_config_k: int = 12,
+) -> DataFrame:
+    """Per-content-partition HyperLogLog sketches for ``col`` —
+    ``(partition_id, sketch binary, estimate)``.
+
+    The 10^12-row upgrade over a one-shot ``approx_count_distinct``:
+    sketches are MERGEABLE state, sized O(2^lg_config_k) bytes each, so
+    they persist to the checkpoint table next to the per-partition
+    lineage rows and a resumed/incremental run unions them WITHOUT
+    rescanning completed partitions (north_star: "approx_count_distinct
+    via HyperLogLog"; the reference recomputes its Compass-style
+    distinct counts from scratch each run, schema_statistics.py:78-86).
+    ``F.hll_sketch_agg`` emits Apache DataSketches-compatible binaries,
+    readable outside Spark."""
+    return (
+        docs.withColumn(
+            "partition_id", stable_partition_id(F.col("doc_id"), n_buckets)
+        )
+        .groupBy("partition_id")
+        .agg(F.hll_sketch_agg(F.col(col), F.lit(lg_config_k)).alias("sketch"))
+        .select(
+            "partition_id",
+            "sketch",
+            F.hll_sketch_estimate("sketch").alias("estimate"),
+        )
+    )
+
+
+def merge_distinct_sketches(sketches: DataFrame) -> DataFrame:
+    """Union per-partition HLL sketches into one global estimate —
+    ``(n_partitions, merged_estimate)``. Merging is associative and
+    tiny (one binary per partition), so incremental ingest unions the
+    new partitions' sketches against the checkpointed ones instead of
+    recounting 10^12 keys."""
+    return sketches.agg(
+        F.count(F.lit(1)).alias("n_partitions"),
+        F.hll_sketch_estimate(
+            F.hll_union_agg(F.col("sketch"))
+        ).alias("merged_estimate"),
+    )

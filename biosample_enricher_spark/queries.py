@@ -2079,6 +2079,26 @@ def streaming_uniqueness(spark, sf_dir):
     return spark.table(name).orderBy("doc_id")
 
 
+
+@q("a2_sketch_mergeable")
+def a2_sketch_mergeable(spark, sf_dir):
+    """A2 upgrade: per-partition HyperLogLog sketches (datasketches
+    binary via hll_sketch_agg) merged with hll_union_agg — the
+    checkpoint-storable, rescan-free form of approx distinct counting.
+    Rows-only (sketch estimates have no DuckDB twin); the exact-count
+    neighborhood and the split-vs-whole merge identity are pinned in
+    tests/test_sketches.py."""
+    from .operators.stats import (
+        merge_distinct_sketches,
+        partition_distinct_sketches,
+    )
+
+    docs = t(spark, sf_dir, "documents").select(
+        F.format_string("doc-%012d", F.col("doc_id")).alias("doc_id")
+    )
+    return merge_distinct_sketches(partition_distinct_sketches(docs))
+
+
 # --- driver CORRECTNESS window ordering ---------------------------------------
 #
 # The external driver oracle-checks the FIRST 50 registered queries per
@@ -2143,7 +2163,8 @@ DRIVER_WINDOW: list[str] = [
     "schema_infer_documents",
     "schema_json_interleaved",
     "streaming_uniqueness",
-    # new round-3 queries are appended here as they land (1 free slot)
+    "a2_sketch_mergeable",
+    # window is now exactly 50
 ]
 
 
