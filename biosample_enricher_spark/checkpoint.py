@@ -51,6 +51,53 @@ CHECKPOINT_SCHEMA = T.StructType(
 )
 
 
+SKETCH_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType(), False),
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("column", T.StringType(), False),
+        T.StructField("sketch", T.BinaryType()),
+        T.StructField("finished_at", T.TimestampType()),
+    ]
+)
+
+
+class SketchTable:
+    """Sidecar to the checkpoint table: one mergeable HLL distinct
+    sketch per (run, partition, column). A resumed or incremental run
+    unions these instead of recounting completed partitions; duplicate
+    appends for a reprocessed partition are harmless because HLL union
+    is idempotent (register-wise max)."""
+
+    def __init__(self, spark: SparkSession, path: str) -> None:
+        from .sources import resolve_table_io
+
+        self.spark = spark
+        self.path = path
+        self._io = resolve_table_io(spark, path, schema=SKETCH_SCHEMA)
+
+    def read(self) -> DataFrame:
+        return self._io.read()
+
+    def append(self, rows: DataFrame) -> None:
+        self._io.append(rows.select([f.name for f in SKETCH_SCHEMA.fields]))
+
+    def distinct_estimates(self, run_id: str) -> DataFrame:
+        """Merged distinct-count estimate per column across every
+        partition sketched so far for ``run_id`` — no data rescan."""
+        return (
+            self.read()
+            .where(F.col("run_id") == run_id)
+            .groupBy("column")
+            .agg(
+                F.count_distinct("partition_id").alias("n_partitions"),
+                F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
+                    "estimate"
+                ),
+            )
+        )
+
+
 class CheckpointTable:
     """Append-only checkpoint table behind the TableIO abstraction:
     a parquet path in the sandbox, an ``iceberg:<catalog.db.table>``
@@ -126,11 +173,19 @@ class ResumableRun:
         checkpoint_path: str,
         run_id: str | None = None,
         suite: ConstraintSuite | None = None,
+        sketch_columns: tuple[str, ...] = (),
     ) -> None:
         self.spark = spark
         self.table = CheckpointTable(spark, checkpoint_path)
         self.run_id = run_id or uuid.uuid4().hex
         self.suite = suite or ConstraintSuite()
+        # per-partition HLL distinct sketches (north_star:
+        # "approx_count_distinct via HyperLogLog") ride a sidecar table
+        # next to the lineage rows; empty tuple = feature off
+        self.sketch_columns = tuple(sketch_columns)
+        self.sketches = SketchTable(
+            spark, f"{checkpoint_path.rstrip('/')}_sketches"
+        )
 
     def pending(self, docs: DataFrame, with_referential: bool = False) -> DataFrame:
         """Documents in not-yet-completed partitions (anti-join on the
@@ -162,9 +217,50 @@ class ResumableRun:
         # new rows to that table must not be visible to any later
         # re-evaluation of this summary.
         summary = result.summary.localCheckpoint(eager=True)
+        # sketches BEFORE lineage: the todo plan also reads the
+        # checkpoint table, so its re-evaluation must happen while this
+        # invocation's partitions still count as pending
+        if self.sketch_columns:
+            self.sketches.append(self._sketch_rows(todo))
         self.table.append(checkpoint_rows_from_summary(summary, self.run_id))
         # release the suite's persisted blocks (violations + dups) now
         # that the summary is materialized — repeated/resumed runs in a
         # long-lived session must not accumulate cached frames
         result.unpersist()
         return summary
+
+    def _sketch_rows(self, todo: DataFrame) -> DataFrame:
+        """One HLL sketch per (partition, column) over this
+        invocation's pending documents — all columns in a single wide
+        aggregation (map-side partial sketches, shuffle carries one
+        small binary per task × bucket)."""
+        docs_p = self.suite.with_partition_id(todo)
+        aggs = [
+            F.hll_sketch_agg(F.col(c), F.lit(12)).alias(f"_s{i}")
+            for i, c in enumerate(self.sketch_columns)
+        ]
+        wide = docs_p.groupBy("partition_id").agg(*aggs)
+        kv = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(f"_s{i}").alias("sketch"),
+                    )
+                    for i, c in enumerate(self.sketch_columns)
+                ]
+            )
+        ).alias("kv")
+        return wide.select("partition_id", kv).select(
+            F.lit(self.run_id).alias("run_id"),
+            "partition_id",
+            F.col("kv.column").alias("column"),
+            F.col("kv.sketch").alias("sketch"),
+            F.current_timestamp().alias("finished_at"),
+        )
+
+    def distinct_estimates(self) -> DataFrame:
+        """Merged HLL distinct estimates per sketched column across
+        everything this run_id has processed so far (incl. previous
+        interrupted invocations) — no rescan of completed partitions."""
+        return self.sketches.distinct_estimates(self.run_id)

@@ -49,6 +49,11 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--synthesize", type=int, metavar="N_DOCS",
                    help="ignore --input path contents and synthesize N "
                         "documents deterministically (demo/bench mode)")
+    p.add_argument("--sketch-distinct", action="store_true",
+                   help="write per-partition HLL distinct sketches for "
+                        "doc_id to the <checkpoint>_sketches sidecar and "
+                        "report the merged estimate (resumes union "
+                        "sketches instead of recounting)")
     p.add_argument("--streaming", action="store_true",
                    help="validate --input via the Structured Streaming "
                         "tier: drain the backlog with availableNow, "
@@ -107,7 +112,13 @@ def main(argv: list[str]) -> None:
 
     suite = ConstraintSuite(n_buckets=args.n_buckets,
                             use_arrow_udf=args.arrow_udf)
-    run = ResumableRun(spark, args.checkpoint, run_id=args.run_id, suite=suite)
+    run = ResumableRun(
+        spark,
+        args.checkpoint,
+        run_id=args.run_id,
+        suite=suite,
+        sketch_columns=("doc_id",) if args.sketch_distinct else (),
+    )
 
     t0 = time.perf_counter()
     summary = run.run(docs, catalog, violations_path=args.violations_out)
@@ -123,6 +134,12 @@ def main(argv: list[str]) -> None:
         "docs_per_sec": round(n_total / elapsed, 1) if elapsed > 0 else None,
         "constraints": sorted({r.constraint_id for r in rows}),
     }
+
+    if args.sketch_distinct:
+        report["distinct_estimates"] = {
+            r.column: {"estimate": r.estimate, "n_partitions": r.n_partitions}
+            for r in run.distinct_estimates().collect()
+        }
 
     if args.baseline:
         base = spark.read.parquet(args.baseline)

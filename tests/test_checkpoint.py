@@ -96,3 +96,34 @@ def test_duplicate_doc_ids_share_a_bucket(spark, corpus):
         .select(stable_partition_id(F.col("doc_id"), 16).alias("b"))
     )
     assert dup_buckets.count() > 0
+
+
+def test_sketch_sidecar_accumulates_across_resume(spark, corpus, tmp_path):
+    """Per-partition HLL sketches ride a sidecar table; after an
+    interrupted run + resume, the merged estimate covers the WHOLE
+    corpus without rescanning completed partitions, and a no-op
+    re-invocation appends nothing."""
+    docs, catalog = corpus
+    suite = ConstraintSuite(n_buckets=16)
+    path = str(tmp_path / "cp")
+    docs_p = suite.with_partition_id(docs)
+    run = ResumableRun(spark, path, run_id="rs", suite=suite,
+                       sketch_columns=("doc_id",))
+    # interrupted: only buckets 0..7
+    run.run(docs_p.where(F.col("partition_id") < 8).drop("partition_id"),
+            catalog)
+    partial = run.distinct_estimates().first()
+    assert partial.n_partitions == 8
+
+    # resume: remaining buckets; merged estimate now ~= full distinct
+    run.run(docs, catalog)
+    est = run.distinct_estimates().first()
+    exact = docs.select("doc_id").distinct().count()
+    assert est.column == "doc_id" and est.n_partitions == 16
+    assert abs(est.estimate - exact) / exact < 0.05
+    assert partial.estimate < est.estimate
+
+    # fully resumed: nothing pending, no new sketch rows
+    n_rows = run.sketches.read().count()
+    run.run(docs, catalog)
+    assert run.sketches.read().count() == n_rows
