@@ -80,16 +80,23 @@ def alpha_ratio(text: Column) -> Column:
     return F.when(n > 0, alpha / n).otherwise(F.lit(0.0))
 
 
-def quality_score(text: Column) -> Column:
-    """Heuristic [0,1] quality score: length band + alpha ratio −
+def quality_score_raw(text: Column) -> Column:
+    """Unrounded [0,1] quality composite: length band + alpha ratio −
     punctuation penalty. Analog of the reference's completeness score
-    (``models.py:86-112``): a bounded composite of simple signals."""
+    (``models.py:86-112``): a bounded composite of simple signals.
+    Kept unrounded so the oracle can compare floor-scaled integers
+    (round-half-up vs half-even diverges on dyadic rationals)."""
     n_tok = token_count(text)
     len_component = F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.4
     alpha_component = alpha_ratio(text) * 0.4
     punct_penalty = F.least(punct_ratio(text) * 2.0, F.lit(0.2))
     score = len_component + alpha_component + F.lit(0.2) - punct_penalty
-    return F.round(F.greatest(F.least(score, F.lit(1.0)), F.lit(0.0)), 6)
+    return F.greatest(F.least(score, F.lit(1.0)), F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """``quality_score_raw`` rounded to 6 dp (the user-facing form)."""
+    return F.round(quality_score_raw(text), 6)
 
 
 def normalize_for_fingerprint(text: Column) -> Column:

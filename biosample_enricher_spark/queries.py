@@ -2099,6 +2099,53 @@ def a2_sketch_mergeable(spark, sf_dir):
     return merge_distinct_sketches(partition_distinct_sketches(docs))
 
 
+
+@q(
+    "text_quality_score",
+    """
+    WITH b AS (
+      SELECT doc_id, text, trim(text) AS tt
+      FROM documents WHERE text IS NOT NULL
+    ), c AS (
+      SELECT doc_id,
+        CASE WHEN length(tt) = 0 THEN 0
+             ELSE len(string_split_regex(tt, '\\s+')) END AS n_tok,
+        length(text) AS n,
+        length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+        length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS n_punct
+      FROM b
+    )
+    SELECT doc_id,
+      CAST(floor(greatest(least(
+          least(n_tok / 100.0, 1.0) * 0.4
+          + (CASE WHEN n > 0 THEN n_alpha / n ELSE 0.0 END) * 0.4
+          + 0.2
+          - least((CASE WHEN n > 0 THEN n_punct / n ELSE 0.0 END) * 2.0, 0.2),
+        1.0), 0.0) * 1000000.0) AS BIGINT) AS q_micro
+    FROM c ORDER BY doc_id
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    """Text-quality heuristic over the documents table (length band +
+    alpha ratio − punctuation penalty; reference completeness-score
+    analog, models.py:86-112). Floor-scaled to integer micros so the
+    DuckDB comparison is exact — identical IEEE expression order on
+    both sides, no round-half-up vs half-even divergence."""
+    from .operators import text as X
+
+    return (
+        t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.floor(X.quality_score_raw(F.col("text")) * 1000000.0)
+            .cast("long")
+            .alias("q_micro"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --- driver CORRECTNESS window ordering ---------------------------------------
 #
 # The external driver oracle-checks the FIRST 50 registered queries per
@@ -2152,7 +2199,7 @@ DRIVER_WINDOW: list[str] = [
     "w1_best_per_group",
     "u2_dedup_distinct",
     "f_scalar_gauntlet",
-    "f8_date_functions",
+    "text_quality_score",
     "f11_haversine",
     "f14_bbox_classify",
     "f18_geo_loc_parse",
