@@ -170,3 +170,39 @@ def test_bucketed_join_has_no_shuffle(spark):
         assert joined.count() == docs.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_schema_inference_is_single_pass(spark):
+    """All nested presence counts (struct levels AND array-of-struct
+    element levels) must come from ONE wide aggregation: no explode,
+    no extra shuffle beyond the single partial/final agg pair."""
+    from biosample_enricher_spark.operators.schema_infer import _walk
+    from pyspark.sql import functions as F
+
+    docs = gen_documents(spark, 200, GenParams(seed=1))
+    contribs = {}
+    _walk(docs.schema, lambda lb: lb(lambda name: F.col(name)), "", contribs)
+    agg = docs.agg(
+        *[
+            F.coalesce(F.sum(e), F.lit(0)).alias(f"_c{i}")
+            for i, e in enumerate(contribs.values())
+        ]
+    )
+    p = plan(agg)
+    assert "Generate" not in p  # no explode
+    assert p.count("Exchange") == 1  # partial agg → single merge
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_partition_sketches_partial_aggregate(spark):
+    """HLL sketch build must partial-aggregate map-side: the shuffle
+    carries sketches, not raw doc ids."""
+    from biosample_enricher_spark.operators.stats import (
+        partition_distinct_sketches,
+    )
+
+    docs = gen_documents(spark, 200, GenParams(seed=1))
+    p = plan(partition_distinct_sketches(docs))
+    assert "partial_hll_sketch_agg" in p or (
+        "HashAggregate" in p and p.count("hll_sketch_agg") >= 2
+    )
