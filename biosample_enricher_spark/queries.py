@@ -2146,6 +2146,38 @@ def text_quality_score(spark, sf_dir):
     )
 
 
+
+@q(
+    "dedup_cluster_assign",
+    """
+    WITH e AS (
+      SELECT doc_id AS id_a, doc_id - 1 AS id_b
+      FROM documents WHERE doc_id % 7 BETWEEN 1 AND 3
+    ),
+    nodes AS (SELECT id_a AS n FROM e UNION SELECT id_b FROM e)
+    SELECT n AS doc_id, n - (n % 7) AS cluster_id
+    FROM nodes ORDER BY doc_id
+    """,
+)
+def dedup_cluster_assign(spark, sf_dir):
+    """Near-dup pairs → dedup clusters via distributed connected
+    components (min-label propagation + pointer jumping). The edge set
+    chains doc_id → doc_id−1 for doc_id%7 ∈ 1..3, producing 4-node
+    chains (diameter 3, multi-round convergence genuinely exercised);
+    the oracle is the closed form cluster = doc_id − doc_id%7 over the
+    edge endpoints."""
+    from .operators.dedup import connected_components
+
+    d = t(spark, sf_dir, "documents")
+    pairs = d.where(
+        F.pmod(F.col("doc_id"), F.lit(7)).between(1, 3)
+    ).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") - 1).alias("id_b"),
+    )
+    return connected_components(pairs).orderBy("doc_id")
+
+
 # --- driver CORRECTNESS window ordering ---------------------------------------
 #
 # The external driver oracle-checks the FIRST 50 registered queries per
@@ -2200,7 +2232,7 @@ DRIVER_WINDOW: list[str] = [
     "u2_dedup_distinct",
     "f_scalar_gauntlet",
     "text_quality_score",
-    "f11_haversine",
+    "dedup_cluster_assign",
     "f14_bbox_classify",
     "f18_geo_loc_parse",
     "f22_null_sentinels",

@@ -330,3 +330,54 @@ def test_ivf_assign_512_centroids(spark, edf):
         v = np.array(row.embedding, dtype=np.float64)
         sims = cmat @ (v / np.linalg.norm(v))
         assert got[row.vec_id] == int(np.argmax(sims)), row.vec_id
+
+
+def test_connected_components_vs_union_find(spark):
+    """Min-label propagation must match a Python union-find on a
+    seeded random graph (chains force multi-round convergence)."""
+    from biosample_enricher_spark.operators.dedup import (
+        connected_components,
+    )
+
+    rng = np.random.default_rng(3)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 400, (300, 2))
+             if a != b]
+    # a long chain exercises diameter > 1 round
+    edges += [(1000 + i, 1001 + i) for i in range(12)]
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {x: find(x) for x in parent}
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(pairs).collect()
+    }
+    assert got == expected
+
+
+def test_connected_components_raises_past_iteration_cap(spark):
+    from biosample_enricher_spark.operators.dedup import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iterations=2)
