@@ -37,6 +37,23 @@ def token_count(text: Column) -> Column:
     )
 
 
+# GPT-2-style pretokenizer, lookahead-free so Java regex (Spark) and
+# RE2 (DuckDB oracle) agree match-for-match: contraction suffixes,
+# optional-space letter runs, digit runs, punctuation runs, whitespace
+# runs. The true GPT-2 pattern's trailing-whitespace lookahead
+# (\s+(?!\S)) is unsupported by RE2; dropping it merges a token's
+# leading space into the preceding whitespace run, changing counts by
+# the same amount in both engines.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count: matches of the GPT-2-style pretokenizer
+    (the 'how many tokens will this cost' pipeline estimator); null →
+    null, empty → 0."""
+    return F.regexp_count(text, F.lit(BPE_ISH_PATTERN))
+
+
 def _marker_regex(markers: tuple[str, ...]) -> str:
     return r"\b(" + "|".join(markers) + r")\b"
 

@@ -2178,6 +2178,40 @@ def dedup_cluster_assign(spark, sf_dir):
     return connected_components(pairs).orderBy("doc_id")
 
 
+
+from .operators.text import BPE_ISH_PATTERN as _BPE_PAT
+
+
+@q(
+    "text_bpe_token_count",
+    # oracle derives from the SAME pattern constant as the Spark side
+    # (single source of truth); SQL string literal doubles the quote
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(text, '"""
+    + _BPE_PAT.replace("'", "''")
+    + """')) AS n_bpe_tokens
+    FROM documents WHERE text IS NOT NULL
+    ORDER BY doc_id
+    """,
+)
+def text_bpe_token_count(spark, sf_dir):
+    """BPE-ish token counting (GPT-2-style pretokenizer, lookahead-free
+    so Spark's Java regex and DuckDB's RE2 count identically) — the
+    training-data cost estimator next to the whitespace tokenizer."""
+    from .operators import text as X
+
+    return (
+        t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            X.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --- driver CORRECTNESS window ordering ---------------------------------------
 #
 # The external driver oracle-checks the FIRST 50 registered queries per
@@ -2229,7 +2263,7 @@ DRIVER_WINDOW: list[str] = [
     "j3_referential_antijoin",
     "j4_tolerance_join",
     "w1_best_per_group",
-    "u2_dedup_distinct",
+    "text_bpe_token_count",
     "f_scalar_gauntlet",
     "text_quality_score",
     "dedup_cluster_assign",

@@ -99,3 +99,25 @@ def test_sha1_matches_hashlib(spark):
     assert rows
     for r in rows:
         assert r.d == hashlib.sha1(r.text.encode("utf-8")).hexdigest()
+
+
+def test_bpe_token_count_pinned(spark):
+    from biosample_enricher_spark.operators.text import bpe_token_count
+
+    cases = [
+        ("The quick brown fox's 42 jumps, don't stop!", 12),
+        ("", 0),
+        ("   ", 1),
+        # "déjà", " vu", " 中文", " 123", "abc" — digit→letter boundary
+        # splits without a space
+        ("déjà vu 中文 123abc", 5),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, c[0]) for i, c in enumerate(cases)], "i long, t string"
+    )
+    got = {
+        r.i: r.n
+        for r in df.select("i", bpe_token_count(F.col("t")).alias("n")).collect()
+    }
+    assert got == {i: c[1] for i, c in enumerate(cases)}
