@@ -183,13 +183,24 @@ def run_streaming_validation(
     output_path: str,
     checkpoint_path: str,
     n_buckets: int = N_BUCKETS_DEFAULT,
+    with_uniqueness: bool = False,
+    state_ttl_ms: int | None = None,
 ):
     """Drain-and-stop deployment shape: stream the input backlog,
     validate, append violation rows to a parquet sink with
     exactly-once checkpointing, terminate when caught up. On a cluster
-    the same call with ``trigger(processingTime=...)`` runs forever."""
+    the same call with ``trigger(processingTime=...)`` runs forever.
+
+    ``with_uniqueness`` unions the stateful in-stream doc_id dedup
+    branch into the same sink (one source, one query, one checkpoint —
+    the stateless row-scope projection and the keyed state operator
+    coexist in a single micro-batch DAG)."""
     docs = stream_documents(spark, input_path)
     out = streaming_violations(docs, n_buckets)
+    if with_uniqueness:
+        out = out.unionByName(
+            streaming_duplicate_violations(docs, n_buckets, state_ttl_ms)
+        )
     q = (
         out.writeStream.format("parquet")
         .option("path", output_path)

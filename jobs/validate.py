@@ -59,7 +59,11 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
                         "tier: drain the backlog with availableNow, "
                         "append violations to --violations-out with "
                         "exactly-once sink checkpointing (row-scope "
-                        "constraints only; see streaming/validate.py)")
+                        "constraints; see streaming/validate.py)")
+    p.add_argument("--stream-uniqueness", action="store_true",
+                   help="with --streaming: also run stateful in-stream "
+                        "doc_id dedup (applyInPandasWithState) into the "
+                        "same sink")
     args = p.parse_args(argv)
     if not args.input and not args.synthesize:
         p.error("one of --input or --synthesize is required")
@@ -92,6 +96,7 @@ def main(argv: list[str]) -> None:
             args.violations_out,
             f"{args.checkpoint.rstrip('/')}_stream",
             n_buckets=args.n_buckets,
+            with_uniqueness=args.stream_uniqueness,
         )
         from biosample_enricher_spark.streaming import read_violations
 

@@ -212,3 +212,28 @@ def test_streaming_uniqueness_across_microbatches(spark):
         (r.doc_id, r.message) for r in read_violations(spark, out).collect()
     )
     assert new == sorted(got + [("doc-3", "duplicate doc_id: occurrence 5")])
+
+
+def test_streaming_with_uniqueness_union_sink(spark, corpus_dir):
+    """--stream-uniqueness deployment shape: row-scope violations and
+    stateful dedup rows land in ONE sink from one query; the row-scope
+    subset still equals the batch engine exactly."""
+    from biosample_enricher_spark.streaming import read_violations
+
+    out = f"{BASE}/union_out"
+    cp = f"{BASE}/union_cp"
+    run_streaming_validation(spark, corpus_dir, out, cp,
+                             with_uniqueness=True)
+    rows = read_violations(spark, out).collect()
+    by_kind = {}
+    for r in rows:
+        by_kind.setdefault(r.constraint_id, 0)
+        by_kind[r.constraint_id] += 1
+    # the seeded corpus contains duplicate doc_ids → stateful rows exist
+    assert by_kind.get("doc_id_unique", 0) > 0
+    row_scope = sorted(
+        (r.partition_id, r.doc_id, r.constraint_id, r.field, r.message)
+        for r in rows
+        if r.constraint_id != "doc_id_unique"
+    )
+    assert row_scope == _batch_rows(spark, corpus_dir)
