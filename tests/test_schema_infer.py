@@ -147,3 +147,120 @@ def test_field_presence_tabular(spark):
     assert got["meta"].json_type == "object" and not got["meta"].required
     assert got["spans"].json_type == "array" and got["spans"].required
     assert got["doc_id"].total_docs == 6
+
+
+def test_required_lists_fuzz_against_local_model(spark):
+    """Hypothesis over random null patterns: the distributed counting
+    pass must agree with the local genson-model required rule at every
+    object level, including empty arrays and all-null parents."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    sub = st.fixed_dictionaries(
+        {
+            "tok": st.one_of(st.none(), st.integers(0, 9)),
+            "tag": st.one_of(st.none(), st.sampled_from(["x", "y"])),
+        }
+    )
+    span = st.fixed_dictionaries(
+        {
+            "kind": st.one_of(st.none(), st.sampled_from(["text", "image"])),
+            "subs": st.one_of(st.none(), st.lists(sub, max_size=3)),
+        }
+    )
+    doc = st.fixed_dictionaries(
+        {
+            "doc_id": st.integers(0, 1000),
+            "meta": st.one_of(
+                st.none(),
+                st.fixed_dictionaries(
+                    {
+                        "lang": st.one_of(st.none(), st.just("en")),
+                        "score": st.one_of(st.none(), st.floats(0, 1)),
+                    }
+                ),
+            ),
+            "spans": st.one_of(st.none(), st.lists(span, max_size=3)),
+        }
+    )
+
+    schema = (
+        "doc_id long, "
+        "meta struct<lang: string, score: double>, "
+        "spans array<struct<kind: string, subs: array<struct<tok: long, tag: string>>>>"
+    )
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(st.lists(doc, min_size=0, max_size=8))
+    def check(docs):
+        df = spark.createDataFrame(
+            [
+                (
+                    d["doc_id"],
+                    (d["meta"]["lang"], d["meta"]["score"])
+                    if d["meta"] is not None
+                    else None,
+                    [
+                        (
+                            s["kind"],
+                            [(x["tok"], x["tag"]) for x in s["subs"]]
+                            if s["subs"] is not None
+                            else None,
+                        )
+                        for s in d["spans"]
+                    ]
+                    if d["spans"] is not None
+                    else None,
+                )
+                for d in docs
+            ]
+            or [],
+            schema,
+        )
+        got = infer_json_schema(df)
+
+        instances: dict[str, list] = {}
+
+        def visit(obj, pointer):
+            instances.setdefault(pointer, []).append(obj)
+            for k, v in obj.items():
+                if isinstance(v, dict):
+                    visit(v, f"{pointer}/{k}")
+                elif isinstance(v, list):
+                    for el in v:
+                        if isinstance(el, dict):
+                            visit(el, f"{pointer}/{k}/items")
+
+        for d in docs:
+            visit(d, "")
+
+        def expected_required(pointer):
+            objs = [o for o in instances.get(pointer, []) if isinstance(o, dict)]
+            if not objs:
+                return []
+            return sorted(
+                k
+                for k in objs[0]
+                if all(o.get(k) is not None for o in objs)
+            )
+
+        def walk(node, pointer):
+            if node.get("type") == "object" and "properties" in node:
+                assert sorted(node.get("required", [])) == expected_required(
+                    pointer
+                ), (pointer, docs)
+                for k, child in node["properties"].items():
+                    walk(child, f"{pointer}/{k}")
+            elif node.get("type") == "array" and isinstance(
+                node.get("items"), dict
+            ):
+                if node["items"].get("type") == "object":
+                    walk(node["items"], f"{pointer}/items")
+
+        walk(got, "")
+
+    check()
