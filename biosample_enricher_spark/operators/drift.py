@@ -192,3 +192,61 @@ def tv_from_histograms(
         F.lit(float(threshold)).alias("threshold"),
         (tv <= threshold).alias("passed"),
     )
+
+
+def psi_from_histograms(
+    base_hist: DataFrame,
+    cur_hist: DataFrame,
+    constraint_id: str,
+    bucket_col: str,
+    threshold: float = 0.1,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population stability index: PSI = Σ_b (p_b − q_b)·ln(p_b/q_b).
+
+    The industry-standard drift score next to KS (order-sensitive) and
+    TV (order-free, bounded): PSI weights re-distributed mass by its
+    log-ratio, so a bucket going 1% → 0.1% counts as much as one going
+    10% → 1%. Zero-proportion buckets are floored at ``eps`` (pinned,
+    so the SQL oracle reproduces it exactly); conventional reading:
+    <0.1 stable, 0.1–0.25 moderate, >0.25 major shift. Pure
+    expressions end-to-end like TV — histograms are the only input, so
+    Python never sees data rows."""
+    a = base_hist.select(
+        F.col(bucket_col).alias("bucket"), F.col("n").alias("n_base")
+    )
+    b = cur_hist.select(F.col(bucket_col).alias("bucket"), F.col("n").alias("n_cur"))
+    joined = a.join(b, "bucket", "full_outer").select(
+        F.coalesce("n_base", F.lit(0)).alias("n_base"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+    w = Window.partitionBy()
+
+    def prop(col: str) -> Column:
+        raw = F.coalesce(
+            F.col(col) / F.nullif(F.sum(col).over(w), F.lit(0)), F.lit(0.0)
+        )
+        return F.when(raw <= 0, F.lit(float(eps))).otherwise(raw)
+
+    p, q = prop("n_base"), prop("n_cur")
+    scored = joined.select(
+        "n_base",
+        "n_cur",
+        ((p - q) * F.log(p / q)).alias("contrib"),
+    )
+    tot = scored.groupBy().agg(
+        F.coalesce(F.sum("n_base"), F.lit(0)).alias("na"),
+        F.coalesce(F.sum("n_cur"), F.lit(0)).alias("nb"),
+        F.coalesce(F.sum("contrib"), F.lit(0.0)).alias("_psi"),
+    )
+    # float-sum reduction order differs across engines at the last
+    # ulp — report at 9 dp like the TV tier's oracle contract
+    psi = F.round(F.col("_psi"), 9)
+    return tot.select(
+        F.lit(constraint_id).alias("constraint_id"),
+        psi.alias("psi_stat"),
+        F.col("na").cast("long").alias("n_base"),
+        F.col("nb").cast("long").alias("n_cur"),
+        F.lit(float(threshold)).alias("threshold"),
+        (psi <= threshold).alias("passed"),
+    )

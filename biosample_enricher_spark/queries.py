@@ -2212,6 +2212,69 @@ def text_bpe_token_count(spark, sf_dir):
     )
 
 
+
+@q(
+    "drift_psi_source",
+    """
+    WITH b AS (
+      SELECT source AS bucket, count(*) AS n_base
+      FROM documents WHERE doc_id % 3 = 0 GROUP BY source
+    ),
+    c AS (
+      SELECT source AS bucket, count(*) AS n_cur
+      FROM documents WHERE doc_id % 3 <> 0 GROUP BY source
+    ),
+    j AS (
+      SELECT coalesce(n_base, 0) AS n_base, coalesce(n_cur, 0) AS n_cur
+      FROM b FULL OUTER JOIN c USING (bucket)
+    ),
+    t AS (SELECT sum(n_base) AS na, sum(n_cur) AS nb FROM j),
+    s AS (
+      SELECT
+        (CASE WHEN coalesce(n_base / nullif(na, 0), 0.0) <= 0
+              THEN 0.000001 ELSE n_base / na END
+         - CASE WHEN coalesce(n_cur / nullif(nb, 0), 0.0) <= 0
+                THEN 0.000001 ELSE n_cur / nb END)
+        * ln((CASE WHEN coalesce(n_base / nullif(na, 0), 0.0) <= 0
+                   THEN 0.000001 ELSE n_base / na END)
+             / (CASE WHEN coalesce(n_cur / nullif(nb, 0), 0.0) <= 0
+                     THEN 0.000001 ELSE n_cur / nb END)) AS contrib
+      FROM j, t
+    )
+    SELECT 'drift_psi_source' AS constraint_id,
+           round(coalesce(sum(contrib), 0.0), 9) AS psi_stat,
+           CAST((SELECT na FROM t) AS BIGINT) AS n_base,
+           CAST((SELECT nb FROM t) AS BIGINT) AS n_cur,
+           CAST(0.1 AS DOUBLE) AS threshold,
+           round(coalesce(sum(contrib), 0.0), 9) <= 0.1 AS passed
+    FROM s
+    """,
+)
+def drift_psi_source(spark, sf_dir):
+    """§2.9 third drift tier: population stability index over the
+    source-label distribution, the doc_id%3==0 third as baseline vs
+    the rest as current. The split modulus is coprime with the
+    generator's source modulus (20), so both sides see every source
+    label ≈uniformly → a small PSI that passes; an even/odd split
+    would be fully disjoint (PSI ≈ 23) because source = src{doc_id%20}. Exact SQL oracle:
+    the eps floor (1e-6) is pinned and psi reported at 9 dp (float-sum
+    reduction order differs across engines at the last ulp)."""
+    from .operators.drift import psi_from_histograms
+
+    d = t(spark, sf_dir, "documents")
+    base = (
+        d.where(F.col("doc_id") % 3 == 0)
+        .groupBy(F.col("source").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cur = (
+        d.where(F.col("doc_id") % 3 != 0)
+        .groupBy(F.col("source").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return psi_from_histograms(base, cur, "drift_psi_source", "bucket")
+
+
 # --- driver CORRECTNESS window ordering ---------------------------------------
 #
 # The external driver oracle-checks the FIRST 50 registered queries per
@@ -2255,7 +2318,7 @@ DRIVER_WINDOW: list[str] = [
     "p4_coalesce_first_nonnull",
     "a1_null_rate_coverage",
     "a2_distinct_counts",
-    "a3_value_histogram",
+    "drift_psi_source",
     "a4_topk_examples",
     "a9_grouped_coverage",
     "a10_region_rollup",

@@ -132,3 +132,48 @@ def test_tv_zero_mass_sides_have_defined_verdicts(spark):
 
     r = tv_from_histograms(empty, empty.where(F.lit(False)), "tv", "bucket").first()
     assert r.tv_stat == 0.0 and r.passed is True
+
+
+def test_psi_identical_shifted_and_empty(spark):
+    """PSI = 0 on identical histograms; hand-computed value on a known
+    shift; eps-floored log keeps zero buckets finite; empty sides get
+    defined verdicts via the zero-mass guard."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from biosample_enricher_spark.operators.drift import psi_from_histograms
+
+    def hist(pairs):
+        arr = F.array(*[
+            F.struct(F.lit(b).alias("bucket"), F.lit(n).alias("n"))
+            for b, n in pairs
+        ])
+        return (
+            spark.range(1)
+            .select(F.explode(arr).alias("x"))
+            .select("x.bucket", "x.n")
+        )
+
+    same = [("a", 40), ("b", 60)]
+    r = psi_from_histograms(hist(same), hist(same[::-1]), "psi", "bucket").first()
+    assert r.psi_stat == 0.0 and bool(r.passed)
+
+    # 0.5/0.5 vs 0.25/0.75: PSI = .25*ln(2) + (-.25)*ln(2/3)
+    r = psi_from_histograms(
+        hist([("a", 50), ("b", 50)]), hist([("a", 25), ("b", 75)]),
+        "psi", "bucket",
+    ).first()
+    expected = 0.25 * math.log(2.0) + (-0.25) * math.log(0.5 / 0.75)
+    assert abs(r.psi_stat - expected) < 1e-9
+    assert not bool(r.passed)  # 0.275 > 0.1
+
+    # disjoint support: eps floor keeps it finite and large
+    r = psi_from_histograms(
+        hist([("a", 10)]), hist([("b", 10)]), "psi", "bucket"
+    ).first()
+    assert r.psi_stat > 10 and not bool(r.passed)
+
+    empty = hist(same).where(F.lit(False))
+    r = psi_from_histograms(empty, hist(same), "psi", "bucket").first()
+    assert r.passed is not None and r.psi_stat is not None
