@@ -250,3 +250,92 @@ def psi_from_histograms(
         F.lit(float(threshold)).alias("threshold"),
         (psi <= threshold).alias("passed"),
     )
+
+
+def drift_check_by_partition(
+    baseline_docs: DataFrame,
+    current_docs: DataFrame,
+    span_len_bucket_width: int = 16,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Per-content-partition drift: the same two KS constraints, one
+    verdict row per (constraint_id, partition_id) — the drift tier at
+    the north_rule's per-partition pass/fail granularity, so an
+    operator can see WHICH content buckets drifted instead of one
+    corpus-global verdict (and the checkpoint table can carry drift
+    lineage rows next to the row-scope ones).
+
+    Scale shape is unchanged: distributed groupBy((partition, bucket))
+    histograms first — shuffle bounded by |partitions| × |buckets| —
+    then the grouped-map KS over each partition's tiny histogram. The
+    applyInPandas key gains partition_id, so Python still only ever
+    sees histograms."""
+    from ..constraints.core import stable_partition_id
+
+    def hists(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+        p = docs.withColumn(
+            "partition_id",
+            stable_partition_id(F.col("doc_id"), n_buckets),
+        )
+        spans = p.select("partition_id", F.explode("spans").alias("s"))
+        span_len = (
+            spans.where(F.col("s.text").isNotNull())
+            .select(
+                "partition_id",
+                (
+                    F.floor(F.length("s.text") / span_len_bucket_width)
+                    * span_len_bucket_width
+                )
+                .cast("long")
+                .alias("bucket"),
+            )
+            .groupBy("partition_id", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        kinds = (
+            spans.select(
+                "partition_id",
+                F.coalesce(F.col("s.kind"), F.lit("<null>")).alias("bucket"),
+            )
+            .groupBy("partition_id", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        return span_len, kinds
+
+    base_len, base_kind = hists(baseline_docs)
+    cur_len, cur_kind = hists(current_docs)
+
+    def ks_partitioned(
+        base: DataFrame, cur: DataFrame, constraint_id: str
+    ) -> DataFrame:
+        a = base.select(
+            "partition_id", F.col("bucket"), F.col("n").alias("n_base")
+        )
+        b = cur.select(
+            "partition_id", F.col("bucket"), F.col("n").alias("n_cur")
+        )
+        joined = a.join(b, ["partition_id", "bucket"], "full_outer").select(
+            F.lit(constraint_id).alias("constraint_id"),
+            "partition_id",
+            F.col("bucket").cast("string").alias("bucket"),
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+        out_schema = (
+            "constraint_id string, partition_id int, ks_stat double, "
+            "n_base long, n_cur long, d_crit double, passed boolean"
+        )
+
+        def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            pid = int(pdf["partition_id"].iloc[0])
+            res = _ks_group(pdf.drop(columns=["partition_id"]))
+            res.insert(1, "partition_id", pid)
+            return res
+
+        return joined.groupBy("constraint_id", "partition_id").applyInPandas(
+            per_group, out_schema
+        )
+
+    return ks_partitioned(base_len, cur_len, C_DRIFT_SPAN_LEN).unionByName(
+        ks_partitioned(base_kind, cur_kind, C_DRIFT_KIND_FREQ)
+    )

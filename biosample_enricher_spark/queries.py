@@ -2275,6 +2275,37 @@ def drift_psi_source(spark, sf_dir):
     return psi_from_histograms(base, cur, "drift_psi_source", "bucket")
 
 
+
+@q("drift_ks_by_partition")
+def drift_ks_by_partition(spark, sf_dir):
+    """Per-content-partition KS drift (north_rule per-partition
+    granularity): documents table lifted to spans, doc_id%3 split,
+    one verdict row per (constraint, partition). Rows-only — the
+    partition key is pmod(xxhash64(...)), which DuckDB lacks; exact
+    per-bucket parity vs the global drift_check is pinned in
+    tests/test_drift.py."""
+    from .operators.drift import drift_check_by_partition
+
+    flat = t(spark, sf_dir, "documents")
+    docs = flat.select(
+        F.format_string("doc-%012d", F.col("doc_id")).alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.col("text").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).cast("int").alias("offset"),
+            )
+        ).alias("spans"),
+        (F.col("doc_id") % 3 == 0).alias("is_base"),
+    )
+    return drift_check_by_partition(
+        docs.where("is_base").drop("is_base"),
+        docs.where("NOT is_base").drop("is_base"),
+        n_buckets=8,
+    ).orderBy("constraint_id", "partition_id")
+
+
 # --- driver CORRECTNESS window ordering ---------------------------------------
 #
 # The external driver oracle-checks the FIRST 50 registered queries per

@@ -177,3 +177,63 @@ def test_psi_identical_shifted_and_empty(spark):
     empty = hist(same).where(F.lit(False))
     r = psi_from_histograms(empty, hist(same), "psi", "bucket").first()
     assert r.passed is not None and r.psi_stat is not None
+
+
+def test_per_partition_drift_matches_per_partition_recompute(spark):
+    """Per-partition KS rows must equal running the global drift_check
+    on each content bucket's documents separately, and a single-bucket
+    planted shift must flag ONLY that bucket."""
+    from pyspark.sql import functions as F
+
+    from biosample_enricher_spark.constraints.core import stable_partition_id
+    from biosample_enricher_spark.operators.drift import (
+        drift_check,
+        drift_check_by_partition,
+    )
+
+    a = gen_documents(spark, 1200, BASE)
+    b = gen_documents(spark, 1200, GenParams(seed=201).clean())
+    got = {
+        (r.constraint_id, r.partition_id): (r.ks_stat, r.passed)
+        for r in drift_check_by_partition(a, b, n_buckets=4).collect()
+    }
+    assert len(got) == 8  # 2 constraints × 4 buckets
+    for pid in range(4):
+        a_p = a.where(stable_partition_id(F.col("doc_id"), 4) == pid)
+        b_p = b.where(stable_partition_id(F.col("doc_id"), 4) == pid)
+        exp = {
+            r.constraint_id: (r.ks_stat, r.passed)
+            for r in drift_check(a_p, b_p).collect()
+        }
+        for cid, v in exp.items():
+            assert got[(cid, pid)] == v, (cid, pid)
+
+    # plant a shift in bucket 2 only: triple every text there
+    shifted = b.withColumn(
+        "spans",
+        F.when(
+            stable_partition_id(F.col("doc_id"), 4) == 2,
+            F.transform(
+                F.col("spans"),
+                lambda s: F.struct(
+                    s["kind"].alias("kind"),
+                    F.when(
+                        s["text"].isNotNull(),
+                        F.concat(s["text"], s["text"], s["text"]),
+                    ).alias("text"),
+                    s["media_ref"].alias("media_ref"),
+                    s["offset"].alias("offset"),
+                ),
+            ),
+        ).otherwise(F.col("spans")),
+    )
+    flagged = {
+        r.partition_id
+        for r in drift_check_by_partition(a, shifted, n_buckets=4)
+        .where(
+            (F.col("constraint_id") == "drift_span_length")
+            & ~F.col("passed")
+        )
+        .collect()
+    }
+    assert flagged == {2}
