@@ -46,6 +46,10 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
                         "Column-expression fold")
     p.add_argument("--baseline",
                    help="baseline documents path for drift constraints")
+    p.add_argument("--drift-by-partition", action="store_true",
+                   help="with --baseline: per-content-partition drift "
+                        "verdicts, appended to the checkpoint table as "
+                        "lineage rows (metrics carry ks_stat/d_crit)")
     p.add_argument("--synthesize", type=int, metavar="N_DOCS",
                    help="ignore --input path contents and synthesize N "
                         "documents deterministically (demo/bench mode)")
@@ -158,6 +162,43 @@ def main(argv: list[str]) -> None:
             }
             for r in drift_rows
         ]
+        if args.drift_by_partition:
+            from pyspark.sql import functions as F
+
+            from biosample_enricher_spark.operators.drift import (
+                drift_check_by_partition,
+            )
+
+            per_part = drift_check_by_partition(
+                base, docs, n_buckets=args.n_buckets
+            ).localCheckpoint(eager=True)
+            run.table.append(
+                per_part.select(
+                    F.lit(args.run_id).alias("run_id"),
+                    F.col("partition_id"),
+                    F.col("constraint_id"),
+                    F.when(F.col("passed"), F.lit("ok"))
+                    .otherwise(F.lit("violations"))
+                    .alias("status"),
+                    F.col("n_cur").cast("long").alias("n_rows"),
+                    F.when(F.col("passed"), F.lit(0))
+                    .otherwise(F.lit(1))
+                    .cast("long")
+                    .alias("n_violations"),
+                    F.create_map(
+                        F.lit("ks_stat"), F.col("ks_stat").cast("double"),
+                        F.lit("d_crit"), F.col("d_crit").cast("double"),
+                    ).alias("metrics"),
+                    F.current_timestamp().alias("finished_at"),
+                )
+            )
+            flagged = [
+                {"constraint_id": r.constraint_id,
+                 "partition_id": r.partition_id, "ks_stat": r.ks_stat}
+                for r in per_part.where(~F.col("passed")).collect()
+            ]
+            report["drift_partitions_flagged"] = flagged
+            report["drift_partitions_checked"] = per_part.count()
 
     print(json.dumps(report))
 
