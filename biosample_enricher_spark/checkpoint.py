@@ -120,16 +120,30 @@ class CheckpointTable:
         self._io.append(rows.select([f.name for f in CHECKPOINT_SCHEMA.fields]))
 
     def completed_partitions(
-        self, run_id: str, n_constraints: int | None = None
+        self,
+        run_id: str,
+        n_constraints: int | None = None,
+        constraint_ids: list[str] | None = None,
     ) -> DataFrame:
         """Distinct partition ids fully finished for this run: no
         ``failed`` row, and (when ``n_constraints`` is given) every
         active constraint's row present — a partition with a partial
-        or mixed ok/failed write is NOT skipped on resume."""
+        or mixed ok/failed write is NOT skipped on resume.
+
+        ``constraint_ids`` restricts the completeness count to the
+        suite's OWN constraints: the table may also carry foreign
+        lineage rows (per-partition drift verdicts from
+        ``--drift-by-partition``), and counting those would let a
+        drift row stand in for a missing suite constraint — e.g. a
+        resume that newly adds the referential check would see
+        k+2 ≥ k+1 distinct ids and silently skip the partition."""
         cp = self.read().where(F.col("run_id") == run_id)
         ok = cp.where(F.col("status") != "failed").select(
             "partition_id", "constraint_id"
         )
+        if constraint_ids is not None:
+            ok = ok.where(F.col("constraint_id").isin(list(constraint_ids)))
+            n_constraints = len(constraint_ids)
         if n_constraints is not None:
             done = (
                 ok.groupBy("partition_id")
@@ -174,6 +188,7 @@ class ResumableRun:
         run_id: str | None = None,
         suite: ConstraintSuite | None = None,
         sketch_columns: tuple[str, ...] = (),
+        sketch_lg_k: int = 12,
     ) -> None:
         self.spark = spark
         self.table = CheckpointTable(spark, checkpoint_path)
@@ -183,6 +198,7 @@ class ResumableRun:
         # "approx_count_distinct via HyperLogLog") ride a sidecar table
         # next to the lineage rows; empty tuple = feature off
         self.sketch_columns = tuple(sketch_columns)
+        self.sketch_lg_k = sketch_lg_k
         self.sketches = SketchTable(
             spark, f"{checkpoint_path.rstrip('/')}_sketches"
         )
@@ -192,7 +208,7 @@ class ResumableRun:
         broadcast completed-bucket set)."""
         done = self.table.completed_partitions(
             self.run_id,
-            n_constraints=len(self.suite.active_constraints(with_referential)),
+            constraint_ids=self.suite.active_constraints(with_referential),
         )
         docs_p = self.suite.with_partition_id(docs)
         return docs_p.join(F.broadcast(done), "partition_id", "left_anti").drop(
@@ -209,6 +225,10 @@ class ResumableRun:
         summary of the work done in THIS invocation (empty if resumed
         past the end)."""
         todo = self.pending(docs, with_referential=asset_catalog is not None)
+        if self.sketch_columns:
+            # todo feeds both the suite and the sketch pass — persist
+            # so --sketch-distinct does not rescan the pending input
+            todo = todo.persist()
         result = self.suite.run(todo, asset_catalog)
         if violations_path is not None:
             result.violations.write.mode("append").parquet(violations_path)
@@ -227,35 +247,28 @@ class ResumableRun:
         # that the summary is materialized — repeated/resumed runs in a
         # long-lived session must not accumulate cached frames
         result.unpersist()
+        if self.sketch_columns:
+            todo.unpersist()
         return summary
 
     def _sketch_rows(self, todo: DataFrame) -> DataFrame:
-        """One HLL sketch per (partition, column) over this
-        invocation's pending documents — all columns in a single wide
-        aggregation (map-side partial sketches, shuffle carries one
-        small binary per task × bucket)."""
-        docs_p = self.suite.with_partition_id(todo)
-        aggs = [
-            F.hll_sketch_agg(F.col(c), F.lit(12)).alias(f"_s{i}")
-            for i, c in enumerate(self.sketch_columns)
-        ]
-        wide = docs_p.groupBy("partition_id").agg(*aggs)
-        kv = F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("column"),
-                        F.col(f"_s{i}").alias("sketch"),
-                    )
-                    for i, c in enumerate(self.sketch_columns)
-                ]
-            )
-        ).alias("kv")
-        return wide.select("partition_id", kv).select(
+        """Sidecar rows for this invocation's pending documents —
+        delegates to the shared per-partition sketch machinery
+        (operators/stats.py::partition_sketch_rows) so sketch
+        precision lives in one place."""
+        from .operators.stats import partition_sketch_rows
+
+        rows = partition_sketch_rows(
+            todo,
+            self.sketch_columns,
+            n_buckets=self.suite.n_buckets,
+            lg_config_k=self.sketch_lg_k,
+        )
+        return rows.select(
             F.lit(self.run_id).alias("run_id"),
             "partition_id",
-            F.col("kv.column").alias("column"),
-            F.col("kv.sketch").alias("sketch"),
+            "column",
+            "sketch",
             F.current_timestamp().alias("finished_at"),
         )
 

@@ -24,7 +24,7 @@ from __future__ import annotations
 import math
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..spec import C_DRIFT_KIND_FREQ, C_DRIFT_SPAN_LEN

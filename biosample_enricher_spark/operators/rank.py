@@ -90,7 +90,9 @@ def distributed_rank(
         b.withColumn("_rk_local", local)
         .join(F.broadcast(offsets), "_rk_bucket")
         .withColumn(
-            rank_col, (F.col("_rk_local") + F.col("_rk_off")).cast("int")
+            # long, not int: the operator exists FOR >2^31-row frames —
+            # an int cast would overflow (ANSI: throw; legacy: wrap)
+            rank_col, (F.col("_rk_local") + F.col("_rk_off")).cast("long")
         )
         .drop("_rk_bucket", "_rk_local", "_rk_off", "_rk_lo", "_rk_hi")
     )

@@ -80,7 +80,8 @@ def srp_sketch(vec: Column, planes: list[list[float]]) -> Column:
     Packed with ``shiftleft`` + bitwise OR so bit 63 (the sign bit) is
     set JVM-side — a Python literal ``1 << 63`` would overflow
     LongType at expression construction."""
-    assert len(planes) <= 64
+    if len(planes) > 64:
+        raise ValueError("srp_sketch packs into one long: <= 64 planes")
     out = F.lit(0).cast("long")
     for b, plane in enumerate(planes):
         bit = (
@@ -156,7 +157,12 @@ def pairwise_near_neighbors(
     ``n_bands=1`` degenerates to the old exact-sketch join. Shuffle
     cost: docs × n_bands small rows; vectors rejoin only for the
     candidate pairs."""
-    assert n_planes % n_bands == 0, "n_planes must divide into n_bands"
+    if n_planes % n_bands != 0:
+        # ValueError, not assert: under python -O a silent partial
+        # banding would drop the top bits and quietly lower recall
+        raise ValueError(
+            f"n_planes ({n_planes}) must divide into n_bands ({n_bands})"
+        )
     r = n_planes // n_bands
     if dim is None:
         first = embeddings.select(F.size(vec_col).alias("d")).first()

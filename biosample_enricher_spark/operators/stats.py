@@ -170,6 +170,44 @@ def top_k_examples(docs: DataFrame, k: int = 5, salt_buckets: int = 32) -> DataF
 # --- mergeable distinct-count sketches (HLL, datasketches-compatible) ---------
 
 
+def partition_sketch_rows(
+    docs: DataFrame,
+    columns: tuple[str, ...],
+    n_buckets: int = N_BUCKETS_DEFAULT,
+    lg_config_k: int = 12,
+) -> DataFrame:
+    """One HLL sketch per (content partition, column) — every column in
+    a single wide aggregation (map-side partial sketches; the shuffle
+    carries one small binary per task × bucket). Shared machinery for
+    the standalone sketch API below and the checkpoint sidecar
+    (checkpoint.py::ResumableRun), so sketch precision is decided in
+    exactly one place."""
+    docs_p = docs.withColumn(
+        "partition_id", stable_partition_id(F.col("doc_id"), n_buckets)
+    )
+    wide = docs_p.groupBy("partition_id").agg(
+        *[
+            F.hll_sketch_agg(F.col(c), F.lit(lg_config_k)).alias(f"_s{i}")
+            for i, c in enumerate(columns)
+        ]
+    )
+    kv = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("column"), F.col(f"_s{i}").alias("sketch")
+                )
+                for i, c in enumerate(columns)
+            ]
+        )
+    ).alias("kv")
+    return wide.select("partition_id", kv).select(
+        "partition_id",
+        F.col("kv.column").alias("column"),
+        F.col("kv.sketch").alias("sketch"),
+    )
+
+
 def partition_distinct_sketches(
     docs: DataFrame,
     col: str = "doc_id",
@@ -188,17 +226,12 @@ def partition_distinct_sketches(
     distinct counts from scratch each run, schema_statistics.py:78-86).
     ``F.hll_sketch_agg`` emits Apache DataSketches-compatible binaries,
     readable outside Spark."""
-    return (
-        docs.withColumn(
-            "partition_id", stable_partition_id(F.col("doc_id"), n_buckets)
-        )
-        .groupBy("partition_id")
-        .agg(F.hll_sketch_agg(F.col(col), F.lit(lg_config_k)).alias("sketch"))
-        .select(
-            "partition_id",
-            "sketch",
-            F.hll_sketch_estimate("sketch").alias("estimate"),
-        )
+    return partition_sketch_rows(
+        docs, (col,), n_buckets, lg_config_k
+    ).select(
+        "partition_id",
+        "sketch",
+        F.hll_sketch_estimate("sketch").alias("estimate"),
     )
 
 

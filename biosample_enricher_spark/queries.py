@@ -2047,8 +2047,14 @@ def streaming_uniqueness(spark, sf_dir):
         F.format_string("doc-%012d", F.col("doc_id")).alias("doc_id"),
         (F.col("doc_id") % 3 == 0).alias("is_dup"),
     )
+    import uuid
+
     sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
-    base = f"/tmp/stream_uniq_{sf_tag}"
+    # per-invocation unique dir: a fixed path raced concurrent sessions
+    # (driver + pytest) — one rmtree could delete a source file another
+    # session's availableNow drain was still reading
+    run_tag = f"{sf_tag}_{uuid.uuid4().hex[:12]}"
+    base = f"/tmp/stream_uniq_{run_tag}"
     shutil.rmtree(base, ignore_errors=True)
     src = f"{base}/src"
     flat.select("doc_id").coalesce(1).write.parquet(f"{src}/b1")
@@ -2065,7 +2071,7 @@ def streaming_uniqueness(spark, sf_dir):
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{src}/*/*.parquet")
     )
-    name = f"stream_uniq_{sf_tag}"
+    name = f"stream_uniq_{run_tag}"
     q_stream = (
         streaming_duplicate_violations(stream)
         .drop("partition_id")

@@ -127,3 +127,43 @@ def test_sketch_sidecar_accumulates_across_resume(spark, corpus, tmp_path):
     n_rows = run.sketches.read().count()
     run.run(docs, catalog)
     assert run.sketches.read().count() == n_rows
+
+
+def test_foreign_lineage_rows_do_not_satisfy_completeness(spark, corpus, tmp_path):
+    """Code-review r3: drift verdict rows share the checkpoint table;
+    they must NOT count toward a partition's suite completeness. Run
+    without referential, append 2 drift rows per partition (k+2 >= k+1
+    distinct ids), then resume WITH a catalog: every partition must
+    still be pending so the referential check actually runs."""
+    docs, catalog = corpus
+    suite = ConstraintSuite(n_buckets=16)
+    run = ResumableRun(spark, str(tmp_path / "cp"), run_id="fx", suite=suite)
+    run.run(docs)  # no catalog: k row-scope+uniqueness constraints
+
+    # simulate --drift-by-partition lineage: 2 foreign constraint rows
+    # per partition under the same run_id
+    drift_rows = (
+        spark.range(16)
+        .selectExpr("cast(id as int) AS partition_id")
+        .selectExpr(
+            "'fx' AS run_id",
+            "partition_id",
+            "explode(array('drift_span_length','drift_kind_frequency'))"
+            " AS constraint_id",
+            "'ok' AS status",
+            "cast(1 as long) AS n_rows",
+            "cast(0 as long) AS n_violations",
+            "map('ks_stat', cast(0.0 as double)) AS metrics",
+            "current_timestamp() AS finished_at",
+        )
+    )
+    run.table.append(drift_rows)
+
+    # without the constraint_ids filter, k+2 foreign-inflated ids would
+    # satisfy the k+1 referential-inclusive bar and skip everything
+    pending = run.pending(docs, with_referential=True)
+    assert pending.count() == docs.count()
+    summary = run.run(docs, catalog)
+    assert "media_ref_referential" in {
+        r.constraint_id for r in summary.collect()
+    }
