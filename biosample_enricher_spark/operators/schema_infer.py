@@ -156,10 +156,24 @@ def _node(dt: T.DataType, pointer: str, counts: dict[str, int]) -> dict[str, Any
     return {"type": json_type_of(dt)}
 
 
-def infer_json_schema(df: DataFrame) -> dict[str, Any]:
+def infer_json_schema(
+    df: DataFrame, sample_size: int | None = None, seed: int = 42
+) -> dict[str, Any]:
     """Inferred JSON Schema (draft 2020-12) for ``df`` — genson-shaped
     output from the typed schema plus one distributed counting pass for
-    the ``required`` lists."""
+    the ``required`` lists.
+
+    ``sample_size`` mirrors the reference CLI's ``--sample-size``
+    (server-side ``$sample`` before the builder,
+    schema_inference.py:23,48): a seeded hash-sample caps the counting
+    pass at ~``sample_size`` rows. The typed shape is sample-invariant;
+    only the required lists are estimated, exactly like genson over a
+    Mongo sample. None = full table (the default: counting is one
+    aggregation, cheap even at scale)."""
+    if sample_size is not None:
+        total = df.count()
+        if total > sample_size:
+            df = df.sample(fraction=sample_size / total, seed=seed)
     counts = _presence_counts(df)
     return {"$schema": _SCHEMA_URI, **_node(df.schema, "", counts)}
 

@@ -56,7 +56,10 @@ class ParquetTableIO(TableIO):
         self.schema = schema
 
     def exists(self) -> bool:
-        return os.path.exists(self.path) and any(
+        if os.path.isfile(self.path):
+            # single-file table (e.g. the driver's documents.parquet)
+            return True
+        return os.path.isdir(self.path) and any(
             name.endswith(".parquet") or name.startswith("part-")
             for name in os.listdir(self.path)
         )

@@ -264,3 +264,26 @@ def test_required_lists_fuzz_against_local_model(spark):
         walk(got, "")
 
     check()
+
+
+def test_sample_size_caps_counting_pass(spark):
+    """--sample-size analog: the typed shape is sample-invariant; the
+    required verdict for an always-present column survives sampling."""
+    df = _nested_df(spark)
+    full = infer_json_schema(df)
+    sampled = infer_json_schema(df, sample_size=3, seed=7)
+
+    def shape(node):
+        # required lists are data-dependent (estimated from the
+        # sample, like genson over a Mongo $sample) — the typed
+        # shape must be identical
+        return {
+            k: shape(v) if isinstance(v, dict) else v
+            for k, v in node.items()
+            if k != "required"
+        }
+
+    assert shape(sampled) == shape(full)
+    # doc_id is non-null everywhere, so any sample keeps it required
+    # (unless the sample is empty, which seed=7 over 6 rows is not)
+    assert "doc_id" in sampled.get("required", [])
