@@ -206,3 +206,12 @@ def test_partition_sketches_partial_aggregate(spark):
     assert "partial_hll_sketch_agg" in p or (
         "HashAggregate" in p and p.count("hll_sketch_agg") >= 2
     )
+
+
+def test_sessionize_and_asof_windows_are_user_partitioned(spark):
+    """The temporal operators' windows must shuffle on user_id — never
+    the single-partition global-window anti-pattern."""
+    for q in ("w5_sessionize", "j7_asof_join"):
+        df = QUERIES[q](spark, SF)
+        p = plan(df)
+        assert "hashpartitioning(user_id" in p, q
