@@ -231,7 +231,17 @@ class ResumableRun:
             todo = todo.persist()
         result = self.suite.run(todo, asset_catalog)
         if violations_path is not None:
-            result.violations.write.mode("append").parquet(violations_path)
+            # dynamic partition overwrite keyed by partition_id: a crash
+            # AFTER this write but BEFORE the lineage append makes the
+            # resume reprocess those partitions — overwrite-by-partition
+            # replaces their rows instead of duplicating them (append
+            # mode would double every violation of the retried buckets)
+            (
+                result.violations.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("partition_id")
+                .parquet(violations_path)
+            )
         # Sever lineage BEFORE appending: the summary plan reads the
         # checkpoint table (via pending→completed anti-join), so writing
         # new rows to that table must not be visible to any later

@@ -167,3 +167,37 @@ def test_foreign_lineage_rows_do_not_satisfy_completeness(spark, corpus, tmp_pat
     assert "media_ref_referential" in {
         r.constraint_id for r in summary.collect()
     }
+
+
+def test_violations_write_is_idempotent_under_crash_retry(spark, corpus, tmp_path):
+    """Crash between the violations write and the lineage append makes
+    the resume reprocess those partitions: dynamic partition overwrite
+    must replace their violation rows, not duplicate them."""
+    docs, catalog = corpus
+    suite = ConstraintSuite(n_buckets=16)
+    vpath = str(tmp_path / "viols")
+    cpath = str(tmp_path / "cp")
+
+    one_shot = sorted(
+        map(tuple, suite.run(docs, catalog).violations.collect())
+    )
+
+    run = ResumableRun(spark, cpath, run_id="cr", suite=suite)
+    run.run(docs, catalog, violations_path=vpath)
+    # simulate the crash: violations landed but the lineage append was
+    # lost → wipe the checkpoint table and retry the whole run
+    import shutil
+
+    shutil.rmtree(cpath)
+    run2 = ResumableRun(spark, cpath, run_id="cr", suite=suite)
+    run2.run(docs, catalog, violations_path=vpath)
+
+    resumed = sorted(
+        map(
+            tuple,
+            spark.read.parquet(vpath)
+            .select("partition_id", "doc_id", "constraint_id", "field", "message")
+            .collect(),
+        )
+    )
+    assert resumed == one_shot  # no duplicates from the retried write
