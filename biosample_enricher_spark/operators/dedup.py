@@ -44,6 +44,24 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def keep_first(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The deduped corpus itself (not just the dup groups): one doc per
+    canonical fingerprint, keep = min(id). Window-free — a fingerprint
+    groupBy picks the keeper ids (map-side combined, one shuffle), then
+    a semi-join filters the corpus; no row ever carries its whole
+    group."""
+    keepers = (
+        df.select(
+            F.col(id_col).alias("_kid"),
+            fingerprint(F.col(text_col)).alias("_fp"),
+        )
+        .groupBy("_fp")
+        .agg(F.min("_kid").alias("_keep"))
+        .select(F.col("_keep").alias(id_col))
+    )
+    return df.join(keepers, id_col, "left_semi")
+
+
 # --- 2. shingles + exact jaccard on candidates -------------------------------
 
 

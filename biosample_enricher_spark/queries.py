@@ -2438,6 +2438,35 @@ def j7_asof_join(spark, sf_dir):
     )
 
 
+
+@q(
+    "dedup_keep_first",
+    '''
+    WITH fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+      FROM documents
+    ),
+    keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f)
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d JOIN keep USING (doc_id)
+    ORDER BY d.doc_id
+    ''',
+)
+def dedup_keep_first(spark, sf_dir):
+    '''Materialized exact-dedup output — the corpus with one doc per
+    canonical fingerprint (keep = min id), the "write the cleaned
+    dataset" face next to dedup_exact_groups' report face.'''
+    from .operators.dedup import keep_first
+
+    d = t(spark, sf_dir, "documents")
+    return (
+        keep_first(d, "doc_id", "text")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 # --- driver CORRECTNESS window ordering ---------------------------------------
 #
 # The external driver oracle-checks the FIRST 50 registered queries per
@@ -2493,7 +2522,7 @@ DRIVER_WINDOW: list[str] = [
     "f_scalar_gauntlet",
     "text_quality_score",
     "dedup_cluster_assign",
-    "f14_bbox_classify",
+    "dedup_keep_first",
     "f18_geo_loc_parse",
     "j7_asof_join",
     "text_lang_id",
