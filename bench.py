@@ -93,18 +93,19 @@ def main() -> None:
 
     # cold = first-ever run (codegen compile, broadcast build, Python
     # worker spin-up for the Arrow path); warm = steady state, reported
-    # as the MEDIAN of 3 repeats — the sandbox VM shows heavy host
-    # steal (load >10 with zero local CPU users; 10s runs next to 60s
-    # runs of the identical plan), and a single warm sample is as
-    # likely to measure a co-tenant as the engine
-    def median3(use_arrow: bool) -> float:
-        runs = sorted(run_suite(use_arrow)[0] for _ in range(3))
-        return runs[1]
+    # as the MIN of 3 repeats. The sandbox VM shows heavy host steal
+    # (load >10 with zero local CPU users; a warm re-run of the
+    # identical deterministic plan measured 4× slower than its own
+    # cold run). For noise that is strictly additive, min-of-N is the
+    # consistent estimator of the true cost — medians still lose when
+    # the steal outlasts 2 of 3 samples.
+    def min3(use_arrow: bool) -> float:
+        return min(run_suite(use_arrow)[0] for _ in range(3))
 
     timings["suite"], n_violations = run_suite(False)
-    timings["suite_warm"] = median3(False)
+    timings["suite_warm"] = min3(False)
     timings["suite_arrow"], _ = run_suite(True)
-    timings["suite_arrow_warm"] = median3(True)
+    timings["suite_arrow_warm"] = min3(True)
 
     # --- operator-query slice over driver tables ---
     bench_queries = [
@@ -124,7 +125,7 @@ def main() -> None:
             t0 = time.perf_counter()
             QUERIES[name](spark, SF_DIR).count()
             runs.append(time.perf_counter() - t0)
-        timings[name] = sorted(runs)[1]
+        timings[name] = min(runs)
 
     docs.unpersist()
     total = sum(timings.values())
@@ -148,7 +149,7 @@ def main() -> None:
         ),
         "cpus": int(CPUS),
         "host_load_1m": round(os.getloadavg()[0], 2),
-        "warm_protocol": "median of 3",
+        "warm_protocol": "min of 3 (additive-noise-robust)",
     }
     print(json.dumps(out))
     spark.stop()
