@@ -87,3 +87,33 @@ def test_driver_window_ordering():
     for q in ("j2_realignment_join", "f13_decimal_precision",
               "drift_tv_lang", "streaming_validation", "a16_quantiles"):
         assert names.index(q) < 50
+
+
+def test_manual_sessionize_matches_builtin_session_window(spark):
+    """w5's lag+running-sum composition must produce the same session
+    boundaries as Spark's built-in session_window(ts, '30 minutes')
+    gap-merge — two independent implementations of the semantics."""
+    from pyspark.sql import functions as F
+
+    from biosample_enricher_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    manual = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in QUERIES["w5_sessionize"](spark, sf).collect()
+    }
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    builtin = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in e.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+        .collect()
+    }
+    assert manual == builtin and len(manual) > 100

@@ -82,3 +82,36 @@ def test_j2_uses_distributed_rank(spark):
     # spot-check rank semantics: largest matching doc_id has rank 1
     rows = df.orderBy(F.col("doc_id").desc()).limit(3).collect()
     assert [r.req_rank for r in rows] == [1, 2, 3]
+
+
+def test_rank_fuzz_against_sorted_enumerate(spark):
+    """Hypothesis over unique key sets (negatives, huge gaps, tiny and
+    larger sizes, several bucket counts) vs Python sorted-enumerate."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(
+        st.lists(
+            st.integers(min_value=-(2**40), max_value=2**40),
+            min_size=1, max_size=60, unique=True,
+        ),
+        st.sampled_from([1, 2, 7, 64]),
+        st.booleans(),
+    )
+    def check(keys, n_buckets, ascending):
+        df = spark.createDataFrame([(k,) for k in keys], "k long")
+        got = {
+            r.k: r.rank
+            for r in distributed_rank(
+                df, "k", ascending=ascending, n_buckets=n_buckets
+            ).collect()
+        }
+        exp = {
+            k: i + 1
+            for i, k in enumerate(sorted(keys, reverse=not ascending))
+        }
+        assert got == exp
+
+    check()
