@@ -49,9 +49,16 @@ def keep_first(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     canonical fingerprint, keep = min(id). Window-free — a fingerprint
     groupBy picks the keeper ids (map-side combined, one shuffle), then
     a semi-join filters the corpus; no row ever carries its whole
-    group."""
+    group.
+
+    NULL-text docs pass through UNCHANGED: fingerprint(NULL) is NULL,
+    and grouping on the NULL key would silently collapse every
+    text-less document (media-only docs in an interleaved corpus) into
+    one "duplicate group", dropping all but min(id). Absence of text
+    is not sameness of content."""
     keepers = (
-        df.select(
+        df.where(F.col(text_col).isNotNull())
+        .select(
             F.col(id_col).alias("_kid"),
             fingerprint(F.col(text_col)).alias("_fp"),
         )
@@ -59,7 +66,9 @@ def keep_first(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .agg(F.min("_kid").alias("_keep"))
         .select(F.col("_keep").alias(id_col))
     )
-    return df.join(keepers, id_col, "left_semi")
+    return df.join(keepers, id_col, "left_semi").unionByName(
+        df.where(F.col(text_col).isNull())
+    )
 
 
 # --- 2. shingles + exact jaccard on candidates -------------------------------
@@ -369,6 +378,24 @@ def simhash_near_duplicates(
     )
 
 
+def _free_local_checkpoint(df: DataFrame | None) -> None:
+    """Drop the cached blocks behind a ``localCheckpoint()``-ed frame.
+
+    ``DataFrame.unpersist()`` only covers cacheManager entries (from
+    ``persist()``); a local checkpoint lives as storage-level blocks on
+    the LogicalRDD's underlying RDD, reachable only through the JVM
+    plan. Must ONLY be called on frames that will never be read again —
+    a locally-checkpointed RDD has no lineage to recompute from.
+    Best-effort: on any reflection failure the blocks simply age out.
+    """
+    if df is None:
+        return
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -434,12 +461,22 @@ def connected_components(
             .limit(1)
             .count()
         )
+        # the superseded label frame is never read again after the
+        # changed-count — free its checkpoint blocks now, or up to
+        # max_iterations frames of |nodes| rows pile up in storage
+        # and outlive the call in long-lived sessions
+        _free_local_checkpoint(labels)
         labels = new_labels
         if changed == 0:
+            # edges' blocks are also dead now; labels stays persisted —
+            # it IS the (lineage-truncated) result the caller reads
+            _free_local_checkpoint(edges)
             return labels.select(
                 F.col("node").alias("doc_id"),
                 F.col("label").alias("cluster_id"),
             )
+    _free_local_checkpoint(edges)
+    _free_local_checkpoint(labels)
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} "
         "rounds — component diameter exceeds the bound; raise "

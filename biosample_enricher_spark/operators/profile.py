@@ -76,7 +76,10 @@ def _profile_frame(
         "r.present_docs",
         "r.total_docs",
         "r.dtype",
-        "r.examples",
+        # serialized to one JSON string: keeps the row hashable by
+        # pandas-based result canonicalizers (sorting an array<string>
+        # column raises "unhashable type: 'list'")
+        F.to_json(F.col("r.examples")).alias("examples"),
     )
 
 

@@ -29,11 +29,20 @@ FR_MARKERS = ("le", "la", "les", "et", "est", "une", "que", "pour", "dans", "des
 ES_MARKERS = ("el", "la", "los", "las", "es", "que", "una", "por", "para", "con")
 
 
+# Java regex \s is [ \t\n\x0B\f\r]; RE2 (DuckDB) \s is [\t\n\f\r ] —
+# no vertical tab. Any pattern shipped to BOTH engines must spell the
+# whitespace class explicitly or \x0B-containing text silently counts
+# differently on the two sides. WS_CHARS is the Java set (the superset)
+# written with escapes both engines parse identically.
+WS_CHARS = r" \t\n\x0B\f\r"
+WS_RUN = "[" + WS_CHARS + "]+"
+
+
 def token_count(text: Column) -> Column:
     """Whitespace token count; empty/blank → 0."""
     trimmed = F.trim(text)
     return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
-        F.size(F.split(trimmed, r"\s+"))
+        F.size(F.split(trimmed, WS_RUN))
     )
 
 
@@ -43,8 +52,15 @@ def token_count(text: Column) -> Column:
 # runs. The true GPT-2 pattern's trailing-whitespace lookahead
 # (\s+(?!\S)) is unsupported by RE2; dropping it merges a token's
 # leading space into the preceding whitespace run, changing counts by
-# the same amount in both engines.
-BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+# the same amount in both engines. Whitespace is the explicit WS_CHARS
+# class, never \s (Java-vs-RE2 \x0B divergence).
+BPE_ISH_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^"
+    + WS_CHARS
+    + r"\p{L}\p{N}]+|["
+    + WS_CHARS
+    + "]+"
+)
 
 
 def bpe_token_count(text: Column) -> Column:
@@ -120,7 +136,7 @@ def normalize_for_fingerprint(text: Column) -> Column:
     """Canonical form for dedup fingerprints: lowercase, collapse all
     whitespace runs to single spaces, strip. Analog of canonical
     request keys (``http_cache.py:20-44``)."""
-    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    return F.trim(F.regexp_replace(F.lower(text), WS_RUN, " "))
 
 
 def fingerprint(text: Column) -> Column:

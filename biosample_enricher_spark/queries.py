@@ -694,10 +694,14 @@ def f22_null_sentinels(spark, sf_dir):
 
 @q(
     "text_token_count",
+    # whitespace class injected from the shared WS_RUN constant (never
+    # \s: Java includes \x0B, RE2 does not)
     """
     SELECT doc_id,
            CASE WHEN length(trim(text)) = 0 OR text IS NULL THEN 0
-                ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+                ELSE len(string_split_regex(trim(text), '"""
+    + X.WS_RUN
+    + """')) END AS n_tokens
     FROM documents WHERE text IS NOT NULL
     """,
 )
@@ -745,7 +749,9 @@ def text_lang_id(spark, sf_dir):
     "text_fingerprint",
     """
     SELECT doc_id,
-           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+           md5(trim(regexp_replace(lower(text), '"""
+    + X.WS_RUN
+    + """', ' ', 'g'))) AS fp
     FROM documents WHERE text IS NOT NULL
     """,
 )
@@ -762,7 +768,9 @@ def text_fingerprint(spark, sf_dir):
     """
     SELECT fp, count(*) AS n_docs, min(doc_id) AS keep_id FROM (
       SELECT doc_id,
-             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+             md5(trim(regexp_replace(lower(text), '"""
+    + X.WS_RUN
+    + """', ' ', 'g'))) AS fp
       FROM documents WHERE text IS NOT NULL
     ) GROUP BY fp HAVING count(*) > 1
     """,
@@ -2091,9 +2099,10 @@ def a2_sketch_mergeable(spark, sf_dir):
     """A2 upgrade: per-partition HyperLogLog sketches (datasketches
     binary via hll_sketch_agg) merged with hll_union_agg — the
     checkpoint-storable, rescan-free form of approx distinct counting.
-    Rows-only (sketch estimates have no DuckDB twin); the exact-count
-    neighborhood and the split-vs-whole merge identity are pinned in
-    tests/test_sketches.py."""
+    Rows-only (sketch estimates have no DuckDB twin), but the row
+    carries its own quantitative check: the exact count(DISTINCT) and
+    the relative error, pinned < 2% in tests/test_sketches.py — a
+    rows-only row with a verifiable signal, not just rows>0."""
     from .operators.stats import (
         merge_distinct_sketches,
         partition_distinct_sketches,
@@ -2102,7 +2111,20 @@ def a2_sketch_mergeable(spark, sf_dir):
     docs = t(spark, sf_dir, "documents").select(
         F.format_string("doc-%012d", F.col("doc_id")).alias("doc_id")
     )
-    return merge_distinct_sketches(partition_distinct_sketches(docs))
+    merged = merge_distinct_sketches(partition_distinct_sketches(docs))
+    exact = docs.agg(
+        F.count_distinct("doc_id").alias("exact_distinct")
+    )
+    return merged.crossJoin(exact).select(
+        "n_partitions",
+        "merged_estimate",
+        "exact_distinct",
+        F.round(
+            F.abs(F.col("merged_estimate") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            6,
+        ).alias("rel_err"),
+    )
 
 
 
@@ -2115,7 +2137,9 @@ def a2_sketch_mergeable(spark, sf_dir):
     ), c AS (
       SELECT doc_id,
         CASE WHEN length(tt) = 0 THEN 0
-             ELSE len(string_split_regex(tt, '\\s+')) END AS n_tok,
+             ELSE len(string_split_regex(tt, '"""
+    + X.WS_RUN
+    + """')) END AS n_tok,
         length(text) AS n,
         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
         length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS n_punct
@@ -2327,9 +2351,13 @@ def drift_ks_by_partition(spark, sf_dir):
     ),
     sess AS (
       SELECT user_id, ts,
-             sum(new_sess) OVER (PARTITION BY user_id
-                                 ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS session_idx
+             -- CAST: DuckDB types the running sum HUGEINT, which the
+             -- driver's pandas canonicalizer renders as float (1.0 vs
+             -- Spark's bigint 1) — values identical, hash diverges
+             CAST(sum(new_sess) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS session_idx
       FROM g
     )
     SELECT user_id, session_idx,
@@ -2444,19 +2472,24 @@ def j7_asof_join(spark, sf_dir):
     '''
     WITH fp AS (
       SELECT doc_id,
-             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
-      FROM documents
+             md5(trim(regexp_replace(lower(text), '"""
+    + X.WS_RUN
+    + """', ' ', 'g'))) AS f
+      FROM documents WHERE text IS NOT NULL
     ),
     keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f)
     SELECT d.doc_id, d.lang, d.n_chars
-    FROM documents d JOIN keep USING (doc_id)
+    FROM documents d
+    WHERE d.doc_id IN (SELECT doc_id FROM keep) OR d.text IS NULL
     ORDER BY d.doc_id
     ''',
 )
 def dedup_keep_first(spark, sf_dir):
     '''Materialized exact-dedup output — the corpus with one doc per
     canonical fingerprint (keep = min id), the "write the cleaned
-    dataset" face next to dedup_exact_groups' report face.'''
+    dataset" face next to dedup_exact_groups' report face. NULL-text
+    (media-only) docs pass through unchanged: absence of text is not
+    sameness of content.'''
     from .operators.dedup import keep_first
 
     d = t(spark, sf_dir, "documents")

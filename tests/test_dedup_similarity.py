@@ -381,3 +381,48 @@ def test_connected_components_raises_past_iteration_cap(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, max_iterations=2)
+
+
+def test_connected_components_frees_superseded_checkpoints(spark):
+    """Each CC round localCheckpoints a new label frame; superseded
+    frames (and the edge frame) must be unpersisted, or up to
+    max_iterations frames of blocks pile up per call in a long-lived
+    session. Only the returned (final) label frame may stay persisted."""
+    from biosample_enricher_spark.operators.dedup import (
+        connected_components,
+    )
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    # 10 chains of length 4 → diameter 3, multi-round convergence
+    pairs = spark.createDataFrame(
+        [(10 * c + i, 10 * c + i + 1) for c in range(10) for i in range(3)],
+        "id_a long, id_b long",
+    )
+    out = connected_components(pairs)
+    assert out.count() == 40
+    after = jsc.getPersistentRDDs().size()
+    assert after - before <= 1, (
+        f"CC leaked {after - before} persisted RDDs (want ≤1: the "
+        "returned label frame only)"
+    )
+
+
+def test_keep_first_passes_null_text_docs_through(spark):
+    """NULL-text (media-only) docs must survive keep_first unchanged:
+    fingerprint(NULL)=NULL and a naive groupBy would collapse them all
+    into one 'duplicate group', dropping every one but min(id)."""
+    from biosample_enricher_spark.operators.dedup import keep_first
+
+    df = spark.createDataFrame(
+        [
+            (1, "same text"),
+            (2, "same text"),   # dup of 1 → dropped
+            (3, None),          # media-only → kept
+            (4, None),          # media-only → kept
+            (5, "other"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in keep_first(df, "doc_id", "text").collect())
+    assert kept == [1, 3, 4, 5]

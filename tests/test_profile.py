@@ -75,8 +75,10 @@ def test_dtype_and_examples(spark):
     p = _profile(spark)
     assert p["depth"].dtype == "double"
     assert p["env.term"].dtype == "string"
-    assert p["env.term"].examples == ["soil", "water"]
-    assert p["id"].examples == ["a", "b"]  # max_examples=2, sorted
+    # examples serialize to one JSON string so external result hashers
+    # (pandas canonicalizers) never see an unhashable list cell
+    assert p["env.term"].examples == '["soil","water"]'
+    assert p["id"].examples == '["a","b"]'  # max_examples=2, sorted
 
 
 def test_profile_on_span_corpus(spark):

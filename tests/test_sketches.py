@@ -50,3 +50,21 @@ def test_incremental_union_tracks_whole_corpus(spark):
     assert abs(whole.merged_estimate - exact) / exact < 0.05
     assert abs(split.merged_estimate - exact) / exact < 0.05
     docs.unpersist()
+
+
+def test_a2_sketch_mergeable_row_carries_error_signal(spark):
+    """The driver-visible a2_sketch_mergeable row must include the
+    exact count and a relative error < 2% — so the rows-only
+    CORRECTNESS row carries a quantitative signal, not just rows>0."""
+    from biosample_enricher_spark.queries import QUERIES
+
+    row = QUERIES["a2_sketch_mergeable"](
+        spark, "/root/testdata/sf0.01"
+    ).first()
+    assert row.exact_distinct == 500  # sf0.01 documents table
+    assert row.rel_err < 0.02
+    assert (
+        abs(row.merged_estimate - row.exact_distinct)
+        / row.exact_distinct
+        < 0.02
+    )
