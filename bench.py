@@ -18,6 +18,19 @@ Headline pieces:
   (identical results; perf comparison vs the expression fold).
 - a representative slice of the driver-table operator queries.
 
+``value`` (headline_total_sec) sums the SAME keys as rounds 1-3 so it
+stays comparable round-over-round; new round-4 measurements (the
+composed dedup pipeline) are reported as separate ``extra_*`` keys and
+NOT folded into the total.
+
+Host-noise protocol: the sandbox host shows heavy co-tenant steal
+(loadavg >10 with zero local CPU users). The harness (a) waits up to
+~5 minutes at startup for 1-minute load < 8 before measuring,
+annotating how long it waited and the load it started at, and (b)
+reports warm tiers as BOTH min-of-3 (primary — for strictly additive
+noise the min is the consistent estimator) and median-of-3 (the r1/r2
+protocol, kept for cross-round comparability).
+
 For the N vs 4N scaling-efficiency protocol, see ``bench_scaling.py``
 (writes BENCH/BASELINE.md).
 """
@@ -26,6 +39,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -38,9 +52,24 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # synthesized-corpus size per SF (docs); ~4.4 spans/doc average
 SUITE_DOCS = {"sf0.001": 5_000, "sf0.01": 50_000, "sf0.1": 500_000}
 
+QUIET_LOAD = 8.0  # target 1-minute loadavg before measuring
+QUIET_MAX_WAIT_SEC = 300
+
 
 def sf_tag(path: str) -> str:
     return os.path.basename(path.rstrip("/"))
+
+
+def wait_for_quiet_host() -> tuple[float, float]:
+    """Block until 1-min load < QUIET_LOAD or the wait budget runs out.
+    Returns (load_at_start, seconds_waited) for the output annotation —
+    a contended-host sample is flagged, never silently reported."""
+    start_load = os.getloadavg()[0]
+    waited = 0.0
+    while os.getloadavg()[0] >= QUIET_LOAD and waited < QUIET_MAX_WAIT_SEC:
+        time.sleep(15)
+        waited += 15
+    return round(start_load, 2), waited
 
 
 def main() -> None:
@@ -50,7 +79,7 @@ def main() -> None:
             "(set SPARK_GRAFT_SF_DIR to a /root/testdata/sf* dir)"
         )
 
-    from pyspark.sql import functions as F
+    load_at_invoke, load_wait_sec = wait_for_quiet_host()
 
     from biosample_enricher_spark.constraints import ConstraintSuite
     from biosample_enricher_spark.queries import QUERIES
@@ -92,20 +121,16 @@ def main() -> None:
         return dt, n_viol
 
     # cold = first-ever run (codegen compile, broadcast build, Python
-    # worker spin-up for the Arrow path); warm = steady state, reported
-    # as the MIN of 3 repeats. The sandbox VM shows heavy host steal
-    # (load >10 with zero local CPU users; a warm re-run of the
-    # identical deterministic plan measured 4× slower than its own
-    # cold run). For noise that is strictly additive, min-of-N is the
-    # consistent estimator of the true cost — medians still lose when
-    # the steal outlasts 2 of 3 samples.
-    def min3(use_arrow: bool) -> float:
-        return min(run_suite(use_arrow)[0] for _ in range(3))
+    # worker spin-up for the Arrow path); warm = steady state over 3
+    # repeats, reported as min (primary) AND median (r1/r2 protocol).
+    def warm3(use_arrow: bool) -> tuple[float, float]:
+        runs = [run_suite(use_arrow)[0] for _ in range(3)]
+        return min(runs), statistics.median(runs)
 
     timings["suite"], n_violations = run_suite(False)
-    timings["suite_warm"] = min3(False)
+    timings["suite_warm"], suite_warm_median = warm3(False)
     timings["suite_arrow"], _ = run_suite(True)
-    timings["suite_arrow_warm"] = min3(True)
+    timings["suite_arrow_warm"], arrow_warm_median = warm3(True)
 
     # --- operator-query slice over driver tables ---
     bench_queries = [
@@ -127,6 +152,17 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         timings[name] = min(runs)
 
+    # --- extras (NOT in the headline total: new in round 4) ---
+    # composed LSH → connected components → keep-first pipeline, run
+    # twice: wall time (min) + cluster-count determinism across runs
+    dedup_rows = []
+    dedup_runs = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        row = QUERIES["dedup_lsh_cc_keepfirst"](spark, SF_DIR).collect()
+        dedup_runs.append(time.perf_counter() - t0)
+        dedup_rows.append([tuple(r) for r in row])
+
     docs.unpersist()
     total = sum(timings.values())
     out = {
@@ -141,15 +177,32 @@ def main() -> None:
         "suite_warm_docs_per_sec": round(
             n_materialized / timings["suite_warm"], 1
         ),
+        "suite_warm_median_sec": round(suite_warm_median, 3),
         "suite_arrow_docs_per_sec": round(
             n_materialized / timings["suite_arrow"], 1
         ),
         "suite_arrow_warm_docs_per_sec": round(
             n_materialized / timings["suite_arrow_warm"], 1
         ),
+        "suite_arrow_warm_median_sec": round(arrow_warm_median, 3),
+        "extra_dedup_pipeline_sec": round(min(dedup_runs), 3),
+        "extra_dedup_pipeline_deterministic": dedup_rows[0] == dedup_rows[1],
+        "extra_dedup_pipeline_summary": {
+            k: v
+            for k, v in zip(
+                ("n_corpus", "n_verified_pairs", "n_clusters",
+                 "n_dropped", "n_kept"),
+                dedup_rows[0][0],
+            )
+        },
         "cpus": int(CPUS),
+        "host_load_at_invoke": load_at_invoke,
+        "host_load_wait_sec": load_wait_sec,
         "host_load_1m": round(os.getloadavg()[0], 2),
-        "warm_protocol": "min of 3 (additive-noise-robust)",
+        "warm_protocol": (
+            "min of 3 primary (additive-noise-robust) + median of 3 "
+            "(r1/r2 protocol) for cross-round comparability"
+        ),
     }
     print(json.dumps(out))
     spark.stop()

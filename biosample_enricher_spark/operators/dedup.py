@@ -378,6 +378,36 @@ def simhash_near_duplicates(
     )
 
 
+def dedup_pipeline(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The full near-dup dedup story composed end-to-end: MinHash+LSH
+    candidate pairs → exact-Jaccard verification → connected components
+    → keep min-id per cluster. Returns the cleaned corpus (original
+    columns, dropped docs removed).
+
+    This is the 100 TB path: every stage is bucketed/bounded — LSH
+    shuffles docs × bands small rows, verification touches only
+    colliding pairs, CC is O(log diameter) rounds over |nodes| labels,
+    and the final materialization is one anti-join (no windows, no
+    driver-side sets). Benchmarked at sf0.1 in bench.py
+    ('dedup_pipeline' entry) with a two-run determinism check."""
+    pairs = minhash_near_duplicates(
+        df, id_col, text_col, threshold, num_hashes, bands, shingle_n
+    )
+    clusters = connected_components(pairs.select("id_a", "id_b"))
+    drops = clusters.where(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(drops, id_col, "left_anti")
+
+
 def _free_local_checkpoint(df: DataFrame | None) -> None:
     """Drop the cached blocks behind a ``localCheckpoint()``-ed frame.
 

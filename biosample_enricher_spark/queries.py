@@ -2500,6 +2500,357 @@ def dedup_keep_first(spark, sf_dir):
     )
 
 
+# =====================================================================
+# round-4 additions: range join, rolling window, pivot, grouping sets,
+# sufficient-stats corr, set ops, streaming windowed agg, posexplode,
+# composed dedup pipeline
+# =====================================================================
+
+
+@q(
+    "j8_range_join",
+    """
+    WITH bands(band, lo, hi) AS (VALUES
+      ('b0_50', 0.0, 50.0), ('b50_100', 50.0, 100.0),
+      ('b100_200', 100.0, 200.0), ('b200_500', 200.0, 500.0))
+    SELECT b.band, count(*) AS n_events,
+           count(DISTINCT e.user_id) AS n_users,
+           min(e.event_id) AS first_event
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band ORDER BY b.band
+    """,
+)
+def j8_range_join(spark, sf_dir):
+    """J8: range (interval) join — each event matched to the value band
+    containing it. The dimension is tiny and broadcast, so the
+    inequality condition runs as BroadcastNestedLoopJoin with the fact
+    side never shuffled — the correct 100 TB plan for band lookups
+    (a shuffle range-join would hash on nothing). Aggregation after the
+    join is map-side combinable on the 4 band keys."""
+    bands = spark.createDataFrame(
+        [
+            ("b0_50", 0.0, 50.0),
+            ("b50_100", 50.0, 100.0),
+            ("b100_200", 100.0, 200.0),
+            ("b200_500", 200.0, 500.0),
+        ],
+        "band string, lo double, hi double",
+    )
+    e = t(spark, sf_dir, "events")
+    return (
+        e.join(
+            F.broadcast(bands),
+            (e["value"] >= bands["lo"]) & (e["value"] < bands["hi"]),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.min("event_id").alias("first_event"),
+        )
+        .orderBy("band")
+    )
+
+
+@q(
+    "w7_rolling_window",
+    """
+    SELECT event_id, user_id,
+           count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                          RANGE BETWEEN 3600000000 PRECEDING
+                                AND CURRENT ROW) AS n_last_hour
+    FROM events ORDER BY event_id
+    """,
+)
+def w7_rolling_window(spark, sf_dir):
+    """W7: rolling event-time window — events per user in the trailing
+    hour, via a RANGE frame over integer epoch-micros (RANGE frames
+    need a numeric ordering key; micros are exact and tz-free). The
+    window partitions by user_id: one shuffle, no global sort, and tie
+    handling is deterministic because RANGE includes all ordering-value
+    peers on both engines."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+    ).orderBy("event_id")
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@q(
+    "p9_pivot",
+    """
+    SELECT user_id % 10 AS cohort,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'error')    AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events GROUP BY cohort ORDER BY cohort
+    """,
+)
+def p9_pivot(spark, sf_dir):
+    """P9: pivot (long → wide) — event counts per cohort with one
+    column per event type. The pivot values are EXPLICIT (no
+    distinct-scan to discover them — at 100 TB that discovery pass is
+    a full extra shuffle), so the plan is a single groupBy with
+    conditional aggregates; absent combinations coalesce to 0 to match
+    SQL's FILTER counts."""
+    e = t(spark, sf_dir, "events").withColumn(
+        "cohort", F.col("user_id") % 10
+    )
+    p = e.groupBy("cohort").pivot("event_type", list(EVENT_TYPES)).count()
+    return p.select(
+        "cohort",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+            for c in EVENT_TYPES
+        ],
+    ).orderBy("cohort")
+
+
+@q(
+    "a17_grouping_sets",
+    """
+    SELECT event_type, cohort, count(*) AS n,
+           CAST(grouping(event_type) * 2 + grouping(cohort) AS INT) AS gid
+    FROM (SELECT event_type, user_id % 7 AS cohort FROM events)
+    GROUP BY GROUPING SETS ((event_type), (cohort), ())
+    ORDER BY gid, event_type, cohort
+    """,
+)
+def a17_grouping_sets(spark, sf_dir):
+    """A17: GROUPING SETS — per-type totals, per-cohort totals, and the
+    grand total in ONE pass (Expand + single shuffle), instead of three
+    scans unioned. gid disambiguates which set a row belongs to via
+    grouping() bits (identical bit order in Spark and DuckDB,
+    verified)."""
+    e = t(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 7).alias("cohort")
+    )
+    return (
+        e.groupingSets([["event_type"], ["cohort"], []], "event_type", "cohort")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.grouping("event_type") * 2 + F.grouping("cohort"))
+            .cast("int")
+            .alias("gid"),
+        )
+        .orderBy("gid", "event_type", "cohort")
+    )
+
+
+@q(
+    "a18_corr_sufficient_stats",
+    """
+    WITH s AS (
+      SELECT count(*) AS n,
+             CAST(sum(n_chars) AS DOUBLE) AS sx,
+             CAST(sum(length(text)) AS DOUBLE) AS sy,
+             CAST(sum(CAST(n_chars AS BIGINT) * length(text)) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(n_chars AS BIGINT) * n_chars) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(length(text) AS BIGINT) * length(text)) AS DOUBLE) AS syy
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT n,
+           CAST(sx AS BIGINT) AS sum_x, CAST(sy AS BIGINT) AS sum_y,
+           CAST(sxy AS BIGINT) AS sum_xy, CAST(sxx AS BIGINT) AS sum_xx,
+           CAST(syy AS BIGINT) AS sum_yy,
+           CAST(floor(1000000.0 * (n * sxy - sx * sy)
+                / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+                AS BIGINT) AS corr_micro
+    FROM s
+    """,
+)
+def a18_corr_sufficient_stats(spark, sf_dir):
+    """A18: Pearson correlation via exact sufficient statistics — the
+    mergeable form (sums of x, y, xy, x², y² are associative integers,
+    so partial aggregates combine exactly across 10^12 rows and across
+    checkpointed runs; a direct corr() of doubles is order-dependent
+    and un-oracle-able). The correlation itself is derived from the
+    exact sums with an IDENTICAL expression tree on both engines, then
+    floor-scaled to integer micros — bit-exact parity, no float hash
+    noise. All sums here stay below 2^53, so the double casts are
+    exact."""
+    d = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    x = F.col("n_chars")
+    y = F.length("text").cast("long")
+    s = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sum_x"),
+        F.sum(y).alias("sum_y"),
+        F.sum(x * y).alias("sum_xy"),
+        F.sum(x * x).alias("sum_xx"),
+        F.sum(y * y).alias("sum_yy"),
+    )
+    n = F.col("n")
+    sx = F.col("sum_x").cast("double")
+    sy = F.col("sum_y").cast("double")
+    sxy = F.col("sum_xy").cast("double")
+    sxx = F.col("sum_xx").cast("double")
+    syy = F.col("sum_yy").cast("double")
+    return s.select(
+        "n", "sum_x", "sum_y", "sum_xy", "sum_xx", "sum_yy",
+        F.floor(
+            F.lit(1000000.0) * (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        )
+        .cast("long")
+        .alias("corr_micro"),
+    )
+
+
+@q(
+    "u5_set_ops",
+    """
+    SELECT 'both' AS tag, doc_id FROM (
+      SELECT doc_id FROM documents WHERE lang = 'en'
+      INTERSECT
+      SELECT doc_id FROM documents WHERE n_chars > 300)
+    UNION ALL
+    SELECT 'en_only' AS tag, doc_id FROM (
+      SELECT doc_id FROM documents WHERE lang = 'en'
+      EXCEPT
+      SELECT doc_id FROM documents WHERE n_chars > 300)
+    ORDER BY tag, doc_id
+    """,
+)
+def u5_set_ops(spark, sf_dir):
+    """U5: INTERSECT / EXCEPT set algebra (distinct semantics on both
+    engines: intersect()/subtract() are Spark's INTERSECT/EXCEPT
+    DISTINCT), union-tagged into one result."""
+    d = t(spark, sf_dir, "documents")
+    en = d.where(F.col("lang") == "en").select("doc_id")
+    big = d.where(F.col("n_chars") > 300).select("doc_id")
+    both = en.intersect(big).select(F.lit("both").alias("tag"), "doc_id")
+    only = en.subtract(big).select(F.lit("en_only").alias("tag"), "doc_id")
+    return both.unionByName(only).orderBy("tag", "doc_id")
+
+
+@q(
+    "streaming_windowed_counts",
+    """
+    SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000)
+             AS win_start,
+           event_type, count(*) AS n_events
+    FROM events GROUP BY win_start, event_type
+    ORDER BY win_start, event_type
+    """,
+)
+def streaming_windowed_counts(spark, sf_dir):
+    """§2.11 stateful streaming tier, exactly-SQL-oracled: tumbling
+    6-hour event-time windows + 1-hour watermark over the incremental
+    file source, drained with availableNow into a memory sink. The
+    watermark needs an instant-typed column, so the NTZ event time is
+    cast under the UTC session (identity instant) and the window start
+    cast back — epoch-aligned 6h buckets match the oracle's integer
+    epoch-micros bucketing exactly. Complete output mode because the
+    batch GROUP BY is the ground truth: every window must emit."""
+    schema = t(spark, sf_dir, "events").schema
+    stream = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.*")
+    agg = (
+        stream.select(
+            F.col("ts").cast("timestamp").alias("ts_i"), "event_type"
+        )
+        .withWatermark("ts_i", "1 hour")
+        .groupBy(F.window("ts_i", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    name = f"stream_win_{sf_tag.replace('.', '_')}"
+    q_stream = (
+        agg.select(
+            F.col("w.start").cast("timestamp_ntz").alias("win_start"),
+            "event_type",
+            "n_events",
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_stream.awaitTermination()
+    return spark.table(name).orderBy("win_start", "event_type")
+
+
+@q(
+    "p10_posexplode",
+    """
+    SELECT vec_id,
+           CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+           CAST(unnest(embedding) AS DOUBLE) AS val
+    FROM embeddings WHERE vec_id < 8 ORDER BY vec_id, pos
+    """,
+)
+def p10_posexplode(spark, sf_dir):
+    """P10: positional explode — (vec_id, dim index, value) from the
+    embedding arrays; float→double widening is exact binary on both
+    engines, so values hash identically."""
+    e = t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 8)
+    return (
+        e.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+        .select("vec_id", "pos", F.col("val").cast("double").alias("val"))
+        .orderBy("vec_id", "pos")
+    )
+
+
+@q("dedup_lsh_cc_keepfirst")  # rows-only: MinHash/xxhash64 has no SQL twin
+def dedup_lsh_cc_keepfirst(spark, sf_dir):
+    """The composed 100 TB dedup story in one row: LSH candidates →
+    exact-Jaccard verify → connected components → keep min-id per
+    cluster, over the corpus plus planted near-duplicate clones (every
+    10th doc re-appended with a one-word suffix — jaccard ≈ 0.95, so
+    each clone MUST pair with its source). Deterministic end-to-end
+    (xxhash64 signatures, min-label CC); the summary row carries its
+    own invariants: n_kept = n_corpus − n_dropped and n_clusters ≤
+    n_planted. Two-run count stability is pinned in bench.py."""
+    from .operators.dedup import connected_components, minhash_near_duplicates
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    d = t(spark, sf_dir, "documents").where(F.col("text").isNotNull()).select(*cols)
+    clones = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" cloned")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    corpus = d.unionByName(clones)
+    pairs = minhash_near_duplicates(
+        corpus, "doc_id", "text", threshold=0.6
+    ).select("id_a", "id_b")
+    clusters = connected_components(pairs)
+    dropped = clusters.where(F.col("doc_id") != F.col("cluster_id"))
+    stats = [
+        corpus.agg(F.count(F.lit(1)).alias("n_corpus")),
+        pairs.agg(F.count(F.lit(1)).alias("n_verified_pairs")),
+        clusters.agg(
+            F.count(F.lit(1)).alias("n_clustered_docs"),
+            F.count_distinct("cluster_id").alias("n_clusters"),
+        ),
+        dropped.agg(F.count(F.lit(1)).alias("n_dropped")),
+    ]
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.crossJoin(s)
+    return out.select(
+        "n_corpus",
+        "n_verified_pairs",
+        "n_clusters",
+        "n_dropped",
+        (F.col("n_corpus") - F.col("n_dropped")).alias("n_kept"),
+    )
+
+
 # --- driver CORRECTNESS window ordering ---------------------------------------
 #
 # The external driver oracle-checks the FIRST 50 registered queries per
@@ -2513,58 +2864,66 @@ def dedup_keep_first(spark, sf_dir):
 # commit regardless of this order.
 
 DRIVER_WINDOW: list[str] = [
-    # never driver-checked before round 3 (registered at positions 51-72)
-    "f13_decimal_precision",
-    "dsl_validation_verdicts",
-    "schema_profile_documents",
-    "s3_tablesample",
-    "p1_normalizing_projection",
-    "p2_multiformat_coordinates",
-    "ann_ivf_topk",
-    "ann_ivf_build_probe",
-    "j5_multifield_merge",
-    "drift_ks_nchars",
-    "s4_filtered_sample",
-    "p3_path_extraction",
-    "p6_exclusion_filter",
-    "p8_valid_coordinates",
-    "f21_hash_ids",
-    "ann_recall_metrics",
-    "dedup_lsh_recall",
-    "drift_tv_lang",
-    "multimodal_pipeline",
-    "a16_quantiles",
-    "streaming_validation",
-    "j2_realignment_join",
-    # representative driver-green spread kept inside the window
-    "s1_scan_filter_project",
-    "s2_existence_filter",
-    "s6_count_scan",
-    "p4_coalesce_first_nonnull",
-    "a1_null_rate_coverage",
-    "a2_distinct_counts",
-    "drift_psi_source",
+    # round-4 rotation (see WINDOW_COVERAGE.md). Priority order:
+    # (1) the one query with no external row in any round;
+    "drift_ks_by_partition",
+    # (2) the two r3 red rows, fixed this round (oracle BIGINT cast /
+    #     JSON-serialized examples), plus the upgraded sketch row;
     "w5_sessionize",
-    "a9_grouped_coverage",
-    "a10_region_rollup",
-    "a13_uniqueness_violations",
-    "j3_referential_antijoin",
-    "j4_tolerance_join",
-    "w1_best_per_group",
-    "text_bpe_token_count",
-    "f_scalar_gauntlet",
-    "text_quality_score",
-    "dedup_cluster_assign",
-    "dedup_keep_first",
-    "f18_geo_loc_parse",
-    "j7_asof_join",
-    "text_lang_id",
-    "dedup_exact_groups",
-    "ann_bruteforce_topk",
-    "schema_infer_documents",
-    "schema_json_interleaved",
-    "streaming_uniqueness",
+    "schema_profile_documents",
     "a2_sketch_mergeable",
+    # (3) the nine queries new in round 4;
+    "j8_range_join",
+    "w7_rolling_window",
+    "p9_pivot",
+    "a17_grouping_sets",
+    "a18_corr_sufficient_stats",
+    "u5_set_ops",
+    "streaming_windowed_counts",
+    "p10_posexplode",
+    "dedup_lsh_cc_keepfirst",
+    # (4) queries whose semantics/oracles changed this round (null-text
+    #     keep_first, explicit whitespace class) — re-verify;
+    "dedup_keep_first",
+    "dedup_exact_groups",
+    "text_bpe_token_count",
+    "text_quality_score",
+    # (5) the 33 queries whose last external row is r2, rotated back in
+    #     (every r3-green query parks after the window; r3 rows stay
+    #     valid).
+    "s5_id_lookup",
+    "s8_union_limit",
+    "p5_range_predicate",
+    "a2_approx_distinct",
+    "a3_value_histogram",
+    "a4_topk_examples",
+    "a5_minmax_bounds",
+    "a7_variance",
+    "a11_mode",
+    "a12_bucket_histogram",
+    "u1_union_tagged",
+    "u2_dedup_distinct",
+    "f8_date_functions",
+    "f11_haversine",
+    "f14_bbox_classify",
+    "f22_null_sentinels",
+    "text_token_count",
+    "text_fingerprint",
+    "dedup_minhash_pairs",
+    "dedup_simhash_pairs",
+    "ann_srp_topk",
+    "s3_deterministic_sample",
+    "s7_json_extraction",
+    "j1_lookup_collect",
+    "j6_additive_merge",
+    "o1_global_topn",
+    "u3_array_except_agg",
+    "f17_format_and_parse",
+    "f19_to_json",
+    "f20_sha256",
+    "a14_multi_accumulator",
+    "a15_cube",
+    "w2_priority_rank",
     # window is now exactly 50
 ]
 

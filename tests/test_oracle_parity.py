@@ -76,17 +76,28 @@ def test_rows_only_queries_run(spark, name):
 
 
 def test_driver_window_ordering():
-    """The 22 queries that registered after the driver's 50-entry
-    cutoff in rounds 1-2 must occupy the front of the registry so
-    CORRECTNESS_r03 finally covers them."""
+    """Round-4 rotation: the never-checked query leads, the two
+    fixed r3 red rows and all round-4 additions sit inside the
+    50-entry driver window, and r2-era queries rotate back in."""
     from biosample_enricher_spark.queries import DRIVER_WINDOW, QUERIES
 
     names = list(QUERIES)
     assert names[: len(DRIVER_WINDOW)] == DRIVER_WINDOW
     assert len(DRIVER_WINDOW) <= 50
-    for q in ("j2_realignment_join", "f13_decimal_precision",
-              "drift_tv_lang", "streaming_validation", "a16_quantiles"):
+    assert names[0] == "drift_ks_by_partition"
+    for q in ("w5_sessionize", "schema_profile_documents",
+              "a2_sketch_mergeable", "j8_range_join",
+              "streaming_windowed_counts", "dedup_lsh_cc_keepfirst",
+              "dedup_keep_first", "w2_priority_rank"):
         assert names.index(q) < 50
+
+
+def test_registry_counts_match_docs():
+    """README and WINDOW_COVERAGE.md state 93 queries / 77 oracled;
+    pin the numbers here so the docs cannot silently drift from the
+    registry again (r3 verdict item #7)."""
+    assert len(QUERIES) == 93
+    assert len(ORACLES) == 77
 
 
 def test_manual_sessionize_matches_builtin_session_window(spark):
