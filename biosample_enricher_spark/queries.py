@@ -2851,6 +2851,108 @@ def dedup_lsh_cc_keepfirst(spark, sf_dir):
     )
 
 
+@q(
+    "o5_offset_pagination",
+    """
+    SELECT doc_id, n_chars FROM documents
+    ORDER BY n_chars DESC, doc_id LIMIT 20 OFFSET 40
+    """,
+)
+def o5_offset_pagination(spark, sf_dir):
+    """O5: LIMIT/OFFSET pagination over a deterministic total order
+    (n_chars DESC, doc_id — unique tiebreak, so page 3 is well-defined
+    on both engines). OFFSET is fine for UI-depth pages; deep
+    pagination at 100 TB should use the keyset cursor form instead
+    (s8/o2), which this complements."""
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .orderBy(F.desc("n_chars"), "doc_id")
+        .offset(40)
+        .limit(20)
+    )
+
+
+@q(
+    "j9_transition_counts",
+    """
+    WITH s AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type, next_type, count(*) AS n
+    FROM s WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    ORDER BY event_type, next_type
+    """,
+)
+def j9_transition_counts(spark, sf_dir):
+    """J9: event-type transition matrix (Markov counts) — lead() over a
+    user-partitioned window, then a 25-key aggregate. One shuffle for
+    the window, map-side combine for the counts; the standard
+    behavioral-sequence feature for training-data pipelines."""
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    return (
+        s.where(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "next_type")
+    )
+
+
+@q(
+    "a19_daily_active_users",
+    """
+    SELECT CAST(ts AS DATE) AS day,
+           count(DISTINCT user_id) AS dau,
+           count(*) AS n_events
+    FROM events GROUP BY day ORDER BY day
+    """,
+)
+def a19_daily_active_users(spark, sf_dir):
+    """A19: daily active users — date-bucketed exact distinct counting
+    (Spark expands count_distinct to a two-phase partial/final plan;
+    at 10^12 events the sketch twin is a2's HLL path)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count_distinct("user_id").alias("dau"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("day")
+    )
+
+
+@q(
+    "u6_union_missing_cols",
+    """
+    SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, CAST(NULL AS VARCHAR) AS lang, n_chars
+    FROM documents WHERE doc_id % 2 = 1
+    ORDER BY doc_id
+    """,
+)
+def u6_union_missing_cols(spark, sf_dir):
+    """U6: schema-evolving union — two sources with different column
+    sets combined by NAME with missing columns null-filled
+    (unionByName(allowMissingColumns=True)), the shape every
+    multi-source ingest hits when providers disagree on fields."""
+    d = t(spark, sf_dir, "documents")
+    a = d.where(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
+    b = d.where(F.col("doc_id") % 2 == 1).select("doc_id", "n_chars")
+    return a.unionByName(b, allowMissingColumns=True).orderBy("doc_id")
+
+
 # --- driver CORRECTNESS window ordering ---------------------------------------
 #
 # The external driver oracle-checks the FIRST 50 registered queries per

@@ -96,8 +96,8 @@ def test_registry_counts_match_docs():
     """README and WINDOW_COVERAGE.md state 93 queries / 77 oracled;
     pin the numbers here so the docs cannot silently drift from the
     registry again (r3 verdict item #7)."""
-    assert len(QUERIES) == 93
-    assert len(ORACLES) == 77
+    assert len(QUERIES) == 97
+    assert len(ORACLES) == 81
 
 
 def test_manual_sessionize_matches_builtin_session_window(spark):

@@ -215,3 +215,45 @@ def test_sessionize_and_asof_windows_are_user_partitioned(spark):
         df = QUERIES[q](spark, SF)
         p = plan(df)
         assert "hashpartitioning(user_id" in p, q
+
+
+def test_range_join_broadcasts_band_dimension(spark):
+    """J8: the tiny band dimension must broadcast; the inequality join
+    runs as BroadcastNestedLoopJoin with the fact side never shuffled
+    for the join itself."""
+    p = plan(QUERIES["j8_range_join"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_rolling_window_is_user_partitioned(spark):
+    """W7's RANGE frame must shuffle on user_id — one hash exchange,
+    never a single-partition global window."""
+    p = plan(QUERIES["w7_rolling_window"](spark, SF))
+    assert "hashpartitioning(user_id" in p
+    assert "SinglePartition" not in p.split("Window")[0]
+
+
+def test_pivot_has_no_discovery_scan(spark):
+    """P9 pins its pivot values explicitly, so the plan must scan
+    events exactly once — no extra distinct-discovery pass (at 100 TB
+    that discovery is a full additional scan+shuffle)."""
+    p = plan(QUERIES["p9_pivot"](spark, SF))
+    assert p.count("FileScan") == 1
+
+
+def test_grouping_sets_single_expand_pass(spark):
+    """A17 computes three grouping sets in ONE scan via Expand —
+    not three unioned aggregations."""
+    p = plan(QUERIES["a17_grouping_sets"](spark, SF))
+    assert "Expand" in p
+    assert p.count("FileScan") == 1
+
+
+def test_corr_sufficient_stats_is_single_partial_agg_pass(spark):
+    """A18's five sums + count must come from one scan with map-side
+    partial aggregation (the mergeable-statistics property it exists
+    to demonstrate)."""
+    p = plan(QUERIES["a18_corr_sufficient_stats"](spark, SF))
+    assert p.count("FileScan") == 1
+    assert "partial_sum" in p or "partial" in p

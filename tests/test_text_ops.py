@@ -121,3 +121,78 @@ def test_bpe_token_count_pinned(spark):
         for r in df.select("i", bpe_token_count(F.col("t")).alias("n")).collect()
     }
     assert got == {i: c[1] for i, c in enumerate(cases)}
+
+
+# --- cross-engine fuzz: Spark (Java regex) vs DuckDB (RE2) ---------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+FUZZ_TEXTS = st.lists(
+    st.text(
+        # letters, digits, contraction quotes, punctuation runs, and the
+        # FULL whitespace battleground: \x0b is in Java's \s but not
+        # RE2's — the explicit WS_CHARS class must make the engines
+        # agree anyway (r3 ADVICE item). NBSP/ideographic space are
+        # non-ASCII whitespace: outside the class in BOTH engines.
+        alphabet="ab Z0 9'.,!-\t\n\r\x0b\x0c 　é中",
+        min_size=0,
+        max_size=24,
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(
+    max_examples=6, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(texts=FUZZ_TEXTS)
+def test_tokenizer_fingerprint_bpe_cross_engine_fuzz(spark, texts):
+    """token_count, fingerprint, and bpe_token_count must agree with
+    DuckDB on arbitrary text INCLUDING vertical tab — the regex class
+    is shared, so any \\s-style divergence (Java includes \\x0b, RE2
+    does not) would surface here before it surfaces in a driver row."""
+    import duckdb
+
+    from biosample_enricher_spark.operators.text import (
+        BPE_ISH_PATTERN,
+        WS_RUN,
+        bpe_token_count,
+        fingerprint,
+        token_count,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r.id: (r.n_tok, r.n_bpe, r.fp)
+        for r in df.select(
+            "id",
+            token_count(F.col("text")).alias("n_tok"),
+            bpe_token_count(F.col("text")).alias("n_bpe"),
+            fingerprint(F.col("text")).alias("fp"),
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tt (id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO tt VALUES (?, ?)", rows)
+    pat = BPE_ISH_PATTERN.replace("'", "''")
+    exp = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            f"""
+            SELECT id,
+              CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(string_split_regex(trim(text), '{WS_RUN}'))
+              END AS n_tok,
+              len(regexp_extract_all(text, '{pat}')) AS n_bpe,
+              md5(trim(regexp_replace(lower(text), '{WS_RUN}', ' ', 'g'))) AS fp
+            FROM tt
+            """
+        ).fetchall()
+    }
+    assert got == exp
