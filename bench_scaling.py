@@ -179,12 +179,16 @@ def main() -> None:
     # median is reported alongside and any steal outliers are flagged
     # per level)
     summary = {
-        "metric": "scaling_efficiency_N_to_4N",
+        # metric name carries the estimator so r4+ numbers are never
+        # silently compared against the r1-r3 median-based series under
+        # one key; the median-based figure stays available under the
+        # OLD metric name's key for exactly that comparison
+        "metric": "scaling_efficiency_N_to_4N_min_of_runs",
         "value": round(eff_best, 3),
         "unit": "ratio",
         "estimator": "min_of_runs (additive-noise-robust; median alongside)",
         "levels": results,
-        "efficiency_median": round(eff_med, 3),
+        "scaling_efficiency_N_to_4N_median_r1_r3_protocol": round(eff_med, 3),
         "cpu_control_mhashes_per_sec": control,
         "cpu_control_efficiency": round(ctl_eff, 3) if ctl_eff else None,
         "n_docs": N_DOCS,
@@ -248,7 +252,7 @@ hardware's linear region; the CPU control itself gives
   ({rl['best_sec']} / {rh['best_sec']}) / {int(hi/lo)}
   = **{s['value']}** — {"meets" if s['passes_0.8'] else "BELOW"} the ≥0.8 target
 - scaling efficiency (median) = ({rl['median_sec']} / {rh['median_sec']}) / {int(hi/lo)}
-  = **{s['efficiency_median']}** — {"meets" if s['passes_0.8_median'] else "below"} ≥0.8
+  = **{s['scaling_efficiency_N_to_4N_median_r1_r3_protocol']}** — {"meets" if s['passes_0.8_median'] else "below"} ≥0.8
   {"(median contaminated by the flagged steal outliers above)" if (rl['steal_outlier_runs'] or rh['steal_outlier_runs']) and not s['passes_0.8_median'] else ""}
 
 Reference throughput for the same per-record semantics: 0.8–5 docs/sec

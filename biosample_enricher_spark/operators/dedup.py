@@ -22,6 +22,8 @@ pair-verify join only touches colliding buckets.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -378,6 +380,19 @@ def simhash_near_duplicates(
     )
 
 
+class DedupPipelineResult(NamedTuple):
+    """``dedup_pipeline`` output: the cleaned corpus plus the
+    intermediate frames a caller needs for reporting. ``clusters``
+    (and therefore ``kept``, which is derived from it) holds ONE
+    persisted localCheckpoint RDD — call
+    ``free_local_checkpoint(result.clusters)`` once every frame has
+    been consumed, or the |nodes|-row block set outlives the call."""
+
+    kept: DataFrame      # original columns, dropped docs removed
+    pairs: DataFrame     # verified near-dup pairs (id_a, id_b)
+    clusters: DataFrame  # (doc_id, cluster_id) for every clustered doc
+
+
 def dedup_pipeline(
     df: DataFrame,
     id_col: str,
@@ -386,30 +401,36 @@ def dedup_pipeline(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
-) -> DataFrame:
+) -> DedupPipelineResult:
     """The full near-dup dedup story composed end-to-end: MinHash+LSH
     candidate pairs → exact-Jaccard verification → connected components
-    → keep min-id per cluster. Returns the cleaned corpus (original
-    columns, dropped docs removed).
+    → keep min-id per cluster. NULL-``text_col`` docs never pair (their
+    shingle signature is null) and pass through to ``kept`` unchanged.
 
     This is the 100 TB path: every stage is bucketed/bounded — LSH
     shuffles docs × bands small rows, verification touches only
     colliding pairs, CC is O(log diameter) rounds over |nodes| labels,
     and the final materialization is one anti-join (no windows, no
-    driver-side sets). Benchmarked at sf0.1 in bench.py
-    ('dedup_pipeline' entry) with a two-run determinism check."""
+    driver-side sets). Exercised end-to-end by the
+    ``dedup_lsh_cc_keepfirst`` driver query, whose sf0.1 wall time +
+    two-run determinism check bench.py records as
+    ``extra_dedup_pipeline_*``."""
     pairs = minhash_near_duplicates(
         df, id_col, text_col, threshold, num_hashes, bands, shingle_n
-    )
-    clusters = connected_components(pairs.select("id_a", "id_b"))
+    ).select("id_a", "id_b")
+    clusters = connected_components(pairs)
     drops = clusters.where(F.col("doc_id") != F.col("cluster_id")).select(
         F.col("doc_id").alias(id_col)
     )
-    return df.join(drops, id_col, "left_anti")
+    kept = df.join(drops, id_col, "left_anti")
+    return DedupPipelineResult(kept=kept, pairs=pairs, clusters=clusters)
 
 
-def _free_local_checkpoint(df: DataFrame | None) -> None:
-    """Drop the cached blocks behind a ``localCheckpoint()``-ed frame.
+def free_local_checkpoint(df: DataFrame | None) -> None:
+    """Drop the cached blocks behind a ``localCheckpoint()``-ed frame
+    (or any frame DERIVED from one — the analyzed plan is walked for
+    LogicalRDD leaves, so a select/filter over a checkpointed frame
+    frees the underlying blocks too).
 
     ``DataFrame.unpersist()`` only covers cacheManager entries (from
     ``persist()``); a local checkpoint lives as storage-level blocks on
@@ -421,9 +442,17 @@ def _free_local_checkpoint(df: DataFrame | None) -> None:
     if df is None:
         return
     try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            if leaf.getClass().getSimpleName() == "LogicalRDD":
+                leaf.rdd().unpersist(False)
     except Exception:
         pass
+
+
+# internal alias (historical name used by connected_components)
+_free_local_checkpoint = free_local_checkpoint
 
 
 def connected_components(
@@ -454,6 +483,14 @@ def connected_components(
 
     Returns ``(doc_id, cluster_id)`` for every node incident to an
     edge; cluster_id = min doc_id in the component.
+
+    Lifecycle: the returned frame is (a projection over) the final
+    lineage-truncated label checkpoint and holds one persisted
+    |nodes|-row RDD — intermediate per-round frames and the edge frame
+    are freed internally, but the result's blocks must survive for the
+    caller to read it. Call ``free_local_checkpoint(result)`` once the
+    result has been fully consumed; in long-lived sessions repeated
+    calls otherwise accumulate one block set each.
     """
     fwd = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
     edges = fwd.union(

@@ -67,7 +67,7 @@ def s1_scan_filter_project(spark, sf_dir):
     "s2_existence_filter",
     """
     SELECT doc_id, n_chars FROM documents
-    WHERE text IS NOT NULL AND length(trim(text)) > 0 AND lang IS NOT NULL
+    WHERE text IS NOT NULL AND length(trim(text, ' ')) > 0 AND lang IS NOT NULL
     """,
 )
 def s2_existence_filter(spark, sf_dir):
@@ -140,7 +140,7 @@ def s8_union_limit(spark, sf_dir):
     "p4_coalesce_first_nonnull",
     """
     SELECT doc_id,
-           coalesce(nullif(trim(lang), ''), source, 'und') AS lang_norm
+           coalesce(nullif(trim(lang, ' '), ''), source, 'und') AS lang_norm
     FROM documents
     """,
 )
@@ -519,7 +519,7 @@ def u2_dedup_distinct(spark, sf_dir):
     "f_scalar_gauntlet",
     """
     SELECT doc_id,
-           lower(trim(lang)) AS lang_lc,
+           lower(trim(lang, ' ')) AS lang_lc,
            length(text) AS text_len,
            substring(md5(text), 1, 8) AS text_md5_8,
            CASE WHEN n_chars >= 1000 THEN 'long'
@@ -670,8 +670,8 @@ def f14_bbox_classify(spark, sf_dir):
     "f22_null_sentinels",
     """
     SELECT doc_id,
-           CASE WHEN lower(trim(lang)) IN ('null','n/a','unknown','none','')
-                THEN NULL ELSE trim(lang) END AS lang_clean
+           CASE WHEN lower(trim(lang, ' ')) IN ('null','n/a','unknown','none','')
+                THEN NULL ELSE trim(lang, ' ') END AS lang_clean
     FROM documents
     """,
 )
@@ -698,8 +698,8 @@ def f22_null_sentinels(spark, sf_dir):
     # \s: Java includes \x0B, RE2 does not)
     """
     SELECT doc_id,
-           CASE WHEN length(trim(text)) = 0 OR text IS NULL THEN 0
-                ELSE len(string_split_regex(trim(text), '"""
+           CASE WHEN length(trim(text, ' ')) = 0 OR text IS NULL THEN 0
+                ELSE len(string_split_regex(trim(text, ' '), '"""
     + X.WS_RUN
     + """')) END AS n_tokens
     FROM documents WHERE text IS NOT NULL
@@ -751,7 +751,7 @@ def text_lang_id(spark, sf_dir):
     SELECT doc_id,
            md5(trim(regexp_replace(lower(text), '"""
     + X.WS_RUN
-    + """', ' ', 'g'))) AS fp
+    + """', ' ', 'g'), ' ')) AS fp
     FROM documents WHERE text IS NOT NULL
     """,
 )
@@ -770,7 +770,7 @@ def text_fingerprint(spark, sf_dir):
       SELECT doc_id,
              md5(trim(regexp_replace(lower(text), '"""
     + X.WS_RUN
-    + """', ' ', 'g'))) AS fp
+    + """', ' ', 'g'), ' ')) AS fp
       FROM documents WHERE text IS NOT NULL
     ) GROUP BY fp HAVING count(*) > 1
     """,
@@ -1039,6 +1039,12 @@ _STATES_SQL = ", ".join(
 )
 _GEO_CASES_SQL = ", ".join(f"'{c}'" for c in _GEO_CASES)
 
+# DuckDB's default trim strips UNICODE whitespace (NBSP, ideographic
+# space); Spark's btrim here strips exactly spec.STRIP_WHITESPACE.
+# Mirror that class, char for char, so the engines can never diverge
+# on exotically-padded input.
+_STRIP_SQL = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
+
 
 @q(
     "f18_geo_loc_parse",
@@ -1051,15 +1057,15 @@ _GEO_CASES_SQL = ", ".join(f"'{c}'" for c in _GEO_CASES)
     ), p AS (
       SELECT doc_id, geo_loc,
              strpos(geo_loc, ':') > 0 AS has_colon,
-             trim(split_part(geo_loc, ':', 1)) AS country_part,
+             trim(split_part(geo_loc, ':', 1), {_STRIP_SQL}) AS country_part,
              substr(geo_loc, strpos(geo_loc, ':') + 1) AS rest,
-             trim(geo_loc) AS bare
+             trim(geo_loc, {_STRIP_SQL}) AS bare
       FROM raw
     ), q AS (
       SELECT *,
              strpos(rest, ',') > 0 AS has_comma,
-             trim(split_part(rest, ',', 1)) AS p0,
-             trim(split_part(rest, ',', 2)) AS p1
+             trim(split_part(rest, ',', 1), {_STRIP_SQL}) AS p0,
+             trim(split_part(rest, ',', 2), {_STRIP_SQL}) AS p1
       FROM p
     )
     SELECT doc_id, geo_loc,
@@ -1069,8 +1075,8 @@ _GEO_CASES_SQL = ", ".join(f"'{c}'" for c in _GEO_CASES)
       CASE WHEN has_colon AND has_comma AND p0 <> '' AND p1 <> '' THEN
              CASE WHEN upper(country_part) = 'USA' AND p1 IN ({_STATES_SQL})
                   THEN p1 ELSE p0 END
-           WHEN has_colon AND NOT has_comma AND trim(rest) <> ''
-           THEN trim(rest) END AS state,
+           WHEN has_colon AND NOT has_comma AND trim(rest, {_STRIP_SQL}) <> ''
+           THEN trim(rest, {_STRIP_SQL}) END AS state,
       CASE WHEN has_colon AND has_comma AND p0 <> '' AND p1 <> '' THEN
              CASE WHEN upper(country_part) = 'USA' AND p1 IN ({_STATES_SQL})
                   THEN p0 ELSE p1 END
@@ -1323,12 +1329,12 @@ def s3_tablesample(spark, sf_dir):
     "p1_normalizing_projection",
     """
     SELECT doc_id AS sample_id,
-           coalesce(nullif(trim(lang), ''), 'und') AS lang_norm,
+           coalesce(nullif(trim(lang, ' '), ''), 'und') AS lang_norm,
            upper(source) AS database_source,
            CASE WHEN n_chars >= 1000 THEN 'long'
                 WHEN n_chars >= 200 THEN 'medium'
                 ELSE 'short' END AS size_class,
-           CASE WHEN text IS NOT NULL AND length(trim(text)) > 0
+           CASE WHEN text IS NOT NULL AND length(trim(text, ' ')) > 0
                 THEN 1 ELSE 0 END
              + CASE WHEN lang IS NOT NULL THEN 1 ELSE 0 END
              + CASE WHEN source IS NOT NULL THEN 1 ELSE 0 END AS completeness_3,
@@ -2132,7 +2138,7 @@ def a2_sketch_mergeable(spark, sf_dir):
     "text_quality_score",
     """
     WITH b AS (
-      SELECT doc_id, text, trim(text) AS tt
+      SELECT doc_id, text, trim(text, ' ') AS tt
       FROM documents WHERE text IS NOT NULL
     ), c AS (
       SELECT doc_id,
@@ -2474,7 +2480,7 @@ def j7_asof_join(spark, sf_dir):
       SELECT doc_id,
              md5(trim(regexp_replace(lower(text), '"""
     + X.WS_RUN
-    + """', ' ', 'g'))) AS f
+    + """', ' ', 'g'), ' ')) AS f
       FROM documents WHERE text IS NOT NULL
     ),
     keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f)
@@ -2805,15 +2811,21 @@ def p10_posexplode(spark, sf_dir):
 
 @q("dedup_lsh_cc_keepfirst")  # rows-only: MinHash/xxhash64 has no SQL twin
 def dedup_lsh_cc_keepfirst(spark, sf_dir):
-    """The composed 100 TB dedup story in one row: LSH candidates →
-    exact-Jaccard verify → connected components → keep min-id per
-    cluster, over the corpus plus planted near-duplicate clones (every
-    10th doc re-appended with a one-word suffix — jaccard ≈ 0.95, so
-    each clone MUST pair with its source). Deterministic end-to-end
-    (xxhash64 signatures, min-label CC); the summary row carries its
-    own invariants: n_kept = n_corpus − n_dropped and n_clusters ≤
-    n_planted. Two-run count stability is pinned in bench.py."""
-    from .operators.dedup import connected_components, minhash_near_duplicates
+    """The composed 100 TB dedup story in one row: ``dedup_pipeline``
+    (LSH candidates → exact-Jaccard verify → connected components →
+    keep min-id per cluster) over the corpus plus planted
+    near-duplicate clones (every 10th doc re-appended with a one-word
+    suffix — jaccard ≈ 0.95, so each clone MUST pair with its source).
+    Deterministic end-to-end (xxhash64 signatures, min-label CC); the
+    summary row carries its own invariants: n_kept = n_corpus −
+    n_dropped and n_dropped = n_clustered − n_clusters. Two-run count
+    stability is pinned in bench.py.
+
+    The four counts are materialized eagerly (driver-small scalars) so
+    the CC label checkpoint can be freed BEFORE returning — repeated
+    invocations leak nothing — and the returned literal frame is
+    re-collectable at zero cost."""
+    from .operators.dedup import dedup_pipeline, free_local_checkpoint
 
     cols = ["doc_id", "text", "lang", "source", "n_chars"]
     d = t(spark, sf_dir, "documents").where(F.col("text").isNotNull()).select(*cols)
@@ -2825,29 +2837,19 @@ def dedup_lsh_cc_keepfirst(spark, sf_dir):
         "n_chars",
     )
     corpus = d.unionByName(clones)
-    pairs = minhash_near_duplicates(
-        corpus, "doc_id", "text", threshold=0.6
-    ).select("id_a", "id_b")
-    clusters = connected_components(pairs)
-    dropped = clusters.where(F.col("doc_id") != F.col("cluster_id"))
-    stats = [
-        corpus.agg(F.count(F.lit(1)).alias("n_corpus")),
-        pairs.agg(F.count(F.lit(1)).alias("n_verified_pairs")),
-        clusters.agg(
-            F.count(F.lit(1)).alias("n_clustered_docs"),
-            F.count_distinct("cluster_id").alias("n_clusters"),
-        ),
-        dropped.agg(F.count(F.lit(1)).alias("n_dropped")),
-    ]
-    out = stats[0]
-    for s in stats[1:]:
-        out = out.crossJoin(s)
-    return out.select(
-        "n_corpus",
-        "n_verified_pairs",
-        "n_clusters",
-        "n_dropped",
-        (F.col("n_corpus") - F.col("n_dropped")).alias("n_kept"),
+    res = dedup_pipeline(corpus, "doc_id", "text", threshold=0.6)
+    n_corpus = corpus.count()
+    n_pairs = res.pairs.count()
+    crow = res.clusters.agg(
+        F.count(F.lit(1)).alias("n_clustered"),
+        F.count_distinct("cluster_id").alias("n_clusters"),
+    ).first()
+    free_local_checkpoint(res.clusters)
+    n_dropped = crow.n_clustered - crow.n_clusters  # one keeper per cluster
+    return spark.createDataFrame(
+        [(n_corpus, n_pairs, crow.n_clusters, n_dropped, n_corpus - n_dropped)],
+        "n_corpus long, n_verified_pairs long, n_clusters long, "
+        "n_dropped long, n_kept long",
     )
 
 

@@ -426,3 +426,40 @@ def test_keep_first_passes_null_text_docs_through(spark):
     )
     kept = sorted(r.doc_id for r in keep_first(df, "doc_id", "text").collect())
     assert kept == [1, 3, 4, 5]
+
+
+def test_dedup_pipeline_kept_corpus_and_zero_leak(spark):
+    """End-to-end pipeline semantics: exact clones collapse to the
+    min-id keeper, singletons and NULL-text docs pass through; after
+    free_local_checkpoint(result.clusters) the call leaves ZERO
+    persisted RDDs behind (the cross-call leak class from the r4
+    review)."""
+    from biosample_enricher_spark.operators.dedup import (
+        dedup_pipeline,
+        free_local_checkpoint,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),            # exact clone → dropped (keeper = 1)
+            (7, base),            # exact clone → dropped
+            (3, "a completely different sentence with many other words"),
+            (9, None),            # media-only doc → kept unchanged
+        ],
+        "doc_id long, text string",
+    )
+    res = dedup_pipeline(df, "doc_id", "text", threshold=0.5)
+    kept_ids = sorted(r.doc_id for r in res.kept.collect())
+    n_pairs = res.pairs.count()
+    n_clusters = res.clusters.select("cluster_id").distinct().count()
+    free_local_checkpoint(res.clusters)
+
+    assert kept_ids == [1, 3, 9]
+    assert n_pairs == 3  # (1,2), (1,7), (2,7)
+    assert n_clusters == 1
+    after = jsc.getPersistentRDDs().size()
+    assert after - before == 0, f"pipeline leaked {after - before} RDDs"

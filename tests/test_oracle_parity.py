@@ -93,7 +93,7 @@ def test_driver_window_ordering():
 
 
 def test_registry_counts_match_docs():
-    """README and WINDOW_COVERAGE.md state 93 queries / 77 oracled;
+    """README and WINDOW_COVERAGE.md state 97 queries / 81 oracled;
     pin the numbers here so the docs cannot silently drift from the
     registry again (r3 verdict item #7)."""
     assert len(QUERIES) == 97

@@ -134,7 +134,9 @@ FUZZ_TEXTS = st.lists(
         # FULL whitespace battleground: \x0b is in Java's \s but not
         # RE2's — the explicit WS_CHARS class must make the engines
         # agree anyway (r3 ADVICE item). NBSP/ideographic space are
-        # non-ASCII whitespace: outside the class in BOTH engines.
+        # non-ASCII whitespace: outside the regex class in BOTH engines
+        # AND outside F.trim's ASCII-space class — the oracle pins
+        # DuckDB's trim to ' ' because its default strips Unicode.
         alphabet="ab Z0 9'.,!-\t\n\r\x0b\x0c 　é中",
         min_size=0,
         max_size=24,
@@ -186,11 +188,14 @@ def test_tokenizer_fingerprint_bpe_cross_engine_fuzz(spark, texts):
         for r in con.execute(
             f"""
             SELECT id,
-              CASE WHEN length(trim(text)) = 0 THEN 0
-                   ELSE len(string_split_regex(trim(text), '{WS_RUN}'))
+              -- trim(x, ' '): DuckDB's default trim strips UNICODE
+              -- whitespace (NBSP strips to ''), Spark's F.trim strips
+              -- ASCII space only — the oracle must pin Spark's class
+              CASE WHEN length(trim(text, ' ')) = 0 THEN 0
+                   ELSE len(string_split_regex(trim(text, ' '), '{WS_RUN}'))
               END AS n_tok,
               len(regexp_extract_all(text, '{pat}')) AS n_bpe,
-              md5(trim(regexp_replace(lower(text), '{WS_RUN}', ' ', 'g'))) AS fp
+              md5(trim(regexp_replace(lower(text), '{WS_RUN}', ' ', 'g'), ' ')) AS fp
             FROM tt
             """
         ).fetchall()
