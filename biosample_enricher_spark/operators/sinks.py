@@ -16,6 +16,7 @@ The reference emits CSV + Markdown artifacts
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_violations(
@@ -27,6 +28,52 @@ def write_violations(
         .format(fmt)
         .save(path)
     )
+
+
+def write_sized_parquet(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = (),
+    max_records_per_file: int = 1_000_000,
+    target_files_per_partition: int | None = None,
+    sort_within: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Corpus-scale parquet writer with explicit output-file sizing —
+    the piece naive ``df.write.parquet`` gets wrong at 100 TB, in both
+    directions: a shuffle with 10k tasks × 100 hive partitions emits a
+    million tiny files (NameNode/manifest poison), while one task
+    holding a hot partition emits a single 50 GB file no scan can
+    split across row groups it never planned.
+
+    - ``maxRecordsPerFile`` caps file size task-locally (a task rolls
+      to a new file at the cap — no extra shuffle).
+    - ``target_files_per_partition`` repartitions by (partition_cols +
+      deterministic pseudo-random bucket) first, so each hive
+      partition is written by exactly that many tasks: file count =
+      partitions × target, independent of upstream task count, and hot
+      partitions spread over `target` writers instead of one.
+    - ``sort_within`` orders rows inside each task before writing —
+      parquet min/max stats on those columns become selective, the
+      cheap substitute for Z-ordering.
+    """
+    out = df
+    if target_files_per_partition:
+        bucket = F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns]),
+            F.lit(target_files_per_partition),
+        )
+        out = out.repartition(
+            *[F.col(c) for c in partition_cols], bucket
+        )
+    if sort_within:
+        out = out.sortWithinPartitions(*sort_within)
+    writer = out.write.mode(mode).option(
+        "maxRecordsPerFile", max_records_per_file
+    )
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)
 
 
 def write_csv(df: DataFrame, path: str) -> None:

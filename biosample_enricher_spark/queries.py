@@ -2838,6 +2838,10 @@ def dedup_lsh_cc_keepfirst(spark, sf_dir):
     )
     corpus = d.unionByName(clones)
     res = dedup_pipeline(corpus, "doc_id", "text", threshold=0.6)
+    # persist the verified pairs: both the count and CC's edge
+    # checkpoint consume them, and the LSH self-join is the pipeline's
+    # most expensive stage — without this it runs twice
+    res.pairs.persist()
     n_corpus = corpus.count()
     n_pairs = res.pairs.count()
     crow = res.clusters.agg(
@@ -2845,6 +2849,7 @@ def dedup_lsh_cc_keepfirst(spark, sf_dir):
         F.count_distinct("cluster_id").alias("n_clusters"),
     ).first()
     free_local_checkpoint(res.clusters)
+    res.pairs.unpersist()
     n_dropped = crow.n_clustered - crow.n_clusters  # one keeper per cluster
     return spark.createDataFrame(
         [(n_corpus, n_pairs, crow.n_clusters, n_dropped, n_corpus - n_dropped)],

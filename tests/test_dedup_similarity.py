@@ -462,4 +462,8 @@ def test_dedup_pipeline_kept_corpus_and_zero_leak(spark):
     assert n_pairs == 3  # (1,2), (1,7), (2,7)
     assert n_clusters == 1
     after = jsc.getPersistentRDDs().size()
-    assert after - before == 0, f"pipeline leaked {after - before} RDDs"
+    # <= 0, not == 0: Spark's ContextCleaner asynchronously unpersists
+    # RDDs from EARLIER tests whose Python refs were GC'd, so the
+    # absolute count can shrink mid-test; the invariant is only that
+    # THIS call adds nothing
+    assert after - before <= 0, f"pipeline leaked {after - before} RDDs"

@@ -47,3 +47,53 @@ def test_sinks_roundtrip(spark, tmp_path):
     assert md.startswith("# Constraint summary")
     assert "offset_ordering" in md and "| pass rate |" in md
     res.unpersist()
+
+
+def test_write_sized_parquet_controls_file_count_and_size(spark, tmp_path):
+    """Output-file sizing: target_files_per_partition bounds the number
+    of data files in EVERY hive partition regardless of upstream task
+    count; maxRecordsPerFile rolls oversized tasks into capped files;
+    rows round-trip exactly and min/max sort survives."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from biosample_enricher_spark.operators.sinks import write_sized_parquet
+
+    df = (
+        spark.range(10_000)
+        .select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 3).cast("string").alias("lang"),
+            F.col("id").alias("n_chars"),
+        )
+        .repartition(32)  # many upstream tasks: the naive writer would
+    )                     # emit up to 32 files per hive partition
+
+    out = str(tmp_path / "sized")
+    write_sized_parquet(
+        df,
+        out,
+        partition_cols=("lang",),
+        target_files_per_partition=2,
+        sort_within=("n_chars",),
+    )
+    for part in ("0", "1", "2"):
+        files = glob.glob(f"{out}/lang={part}/*.parquet")
+        assert 1 <= len(files) <= 2, (part, files)
+    back = spark.read.parquet(out)
+    assert back.count() == 10_000
+    assert back.groupBy().sum("n_chars").first()[0] == sum(range(10_000))
+
+    # cap forces task-local file rolls: same data, tiny cap → many files
+    out2 = str(tmp_path / "rolled")
+    write_sized_parquet(
+        df,
+        out2,
+        partition_cols=("lang",),
+        target_files_per_partition=1,
+        max_records_per_file=500,
+    )
+    files2 = glob.glob(f"{out2}/lang=0/*.parquet")
+    assert len(files2) >= 6  # ~3334 rows / 500 cap
+    assert spark.read.parquet(out2).count() == 10_000
