@@ -2960,6 +2960,38 @@ def u6_union_missing_cols(spark, sf_dir):
     return a.unionByName(b, allowMissingColumns=True).orderBy("doc_id")
 
 
+@q(
+    "p11_stratified_sample",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+          CASE WHEN lang = 'en' THEN '40'
+               WHEN lang = 'de' THEN '80'
+               ELSE '20' END
+    ORDER BY doc_id
+    """,
+)
+def p11_stratified_sample(spark, sf_dir):
+    """P11: deterministic stratified sampling — per-stratum rates
+    (en 25%, de 50%, rest 12.5%) via an md5-hex threshold: row kept iff
+    the first hash byte of its key falls under the stratum's cutoff
+    ('40'=64/256, '80'=128/256, '20'=32/256). Unlike ``sampleBy`` this
+    is engine-portable, reproducible at any parallelism, and stable
+    across reruns/backfills (the same doc is always in or out — the
+    property training-data splits need); the predicate is a pure scan
+    filter, no shuffle."""
+    d = t(spark, sf_dir, "documents")
+    cutoff = (
+        F.when(F.col("lang") == "en", F.lit("40"))
+        .when(F.col("lang") == "de", F.lit("80"))
+        .otherwise(F.lit("20"))
+    )
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return (
+        d.where(bucket < cutoff).select("doc_id", "lang").orderBy("doc_id")
+    )
+
+
 # --- driver CORRECTNESS window ordering ---------------------------------------
 #
 # The external driver oracle-checks the FIRST 50 registered queries per
