@@ -2837,6 +2837,15 @@ def dedup_lsh_cc_keepfirst(spark, sf_dir):
         "n_chars",
     )
     corpus = d.unionByName(clones)
+    # the 64-hash MinHash signature projection is the CPU hot spot and
+    # inherits the scan's split count — a single small parquet file
+    # yields 2 splits, wasting 15/16 of the cluster. Rebalance ONLY
+    # when the input is under-split (at real scale the scan already
+    # yields thousands of splits and this branch never fires; the
+    # guard keeps the full-corpus shuffle out of the 100 TB path).
+    target = spark.sparkContext.defaultParallelism
+    if corpus.rdd.getNumPartitions() < target:
+        corpus = corpus.repartition(target)
     res = dedup_pipeline(corpus, "doc_id", "text", threshold=0.6)
     # persist the verified pairs: both the count and CC's edge
     # checkpoint consume them, and the LSH self-join is the pipeline's
@@ -2990,6 +2999,82 @@ def p11_stratified_sample(spark, sf_dir):
     return (
         d.where(bucket < cutoff).select("doc_id", "lang").orderBy("doc_id")
     )
+
+
+@q(
+    "a20_gapfill_daily",
+    """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events WHERE event_type = 'purchase' AND value > 450
+      GROUP BY day
+    ),
+    span AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+    all_days AS (
+      SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                         CAST(hi AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+      FROM span
+    )
+    SELECT a.day, coalesce(d.n, 0) AS n_events
+    FROM all_days a LEFT JOIN d USING (day)
+    ORDER BY a.day
+    """,
+)
+def a20_gapfill_daily(spark, sf_dir):
+    """A20: time-series gap filling — daily counts of a RARE event
+    (high-value purchases) with missing days materialized as 0 via
+    sequence(min_day, max_day) + left join. The day spine is generated
+    from a 1-row aggregate (broadcast side), so the join never
+    shuffles the fact side; the dense-calendar property every
+    dashboard/forecast consumer assumes."""
+    e = t(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase") & (F.col("value") > 450)
+    )
+    d = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    span = d.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    all_days = span.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 day"))
+        ).alias("day")
+    )
+    return (
+        all_days.join(d, "day", "left")
+        .select("day", F.coalesce("n", F.lit(0)).alias("n_events"))
+        .orderBy("day")
+    )
+
+
+@q(
+    "p12_unpivot",
+    """
+    SELECT doc_id, 'n_chars' AS metric, CAST(n_chars AS BIGINT) AS value
+    FROM documents WHERE text IS NOT NULL
+    UNION ALL
+    SELECT doc_id, 'text_len' AS metric, CAST(length(text) AS BIGINT) AS value
+    FROM documents WHERE text IS NOT NULL
+    ORDER BY doc_id, metric
+    """,
+)
+def p12_unpivot(spark, sf_dir):
+    """P12: unpivot (wide → long melt), the inverse of p9's pivot —
+    one row per (id, metric). Spark's unpivot is a zero-shuffle
+    Expand (each input row emits |metrics| rows in place), NOT a
+    self-union that would scan the table once per metric."""
+    d = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    wide = d.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.length("text").cast("long").alias("text_len"),
+    )
+    return wide.unpivot(
+        ids=["doc_id"],
+        values=["n_chars", "text_len"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    ).orderBy("doc_id", "metric")
 
 
 # --- driver CORRECTNESS window ordering ---------------------------------------

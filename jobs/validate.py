@@ -133,6 +133,13 @@ def main(argv: list[str]) -> None:
     summary = run.run(docs, catalog, violations_path=args.violations_out)
     rows = summary.collect()
     elapsed = time.perf_counter() - t0
+    # the summary is a lineage-truncated local checkpoint; its blocks
+    # are dead once collected
+    from biosample_enricher_spark.operators.dedup import (
+        free_local_checkpoint,
+    )
+
+    free_local_checkpoint(summary)
 
     n_total = sum(r.total for r in rows if r.constraint_id == "kind_vocabulary")
     report = {

@@ -93,11 +93,11 @@ def test_driver_window_ordering():
 
 
 def test_registry_counts_match_docs():
-    """README and WINDOW_COVERAGE.md state 98 queries / 82 oracled;
+    """README and WINDOW_COVERAGE.md state 100 queries / 84 oracled;
     pin the numbers here so the docs cannot silently drift from the
     registry again (r3 verdict item #7)."""
-    assert len(QUERIES) == 98
-    assert len(ORACLES) == 82
+    assert len(QUERIES) == 100
+    assert len(ORACLES) == 84
 
 
 def test_manual_sessionize_matches_builtin_session_window(spark):
