@@ -181,8 +181,9 @@ def main() -> None:
     summary = {
         # metric name carries the estimator so r4+ numbers are never
         # silently compared against the r1-r3 median-based series under
-        # one key; the median-based figure stays available under the
-        # OLD metric name's key for exactly that comparison
+        # one key; the median-based figure is reported under its own
+        # explicitly-protocol-labelled key (nothing in this summary
+        # reuses the old bare metric name)
         "metric": "scaling_efficiency_N_to_4N_min_of_runs",
         "value": round(eff_best, 3),
         "unit": "ratio",

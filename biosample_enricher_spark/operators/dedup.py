@@ -382,11 +382,12 @@ def simhash_near_duplicates(
 
 class DedupPipelineResult(NamedTuple):
     """``dedup_pipeline`` output: the cleaned corpus plus the
-    intermediate frames a caller needs for reporting. ``clusters``
-    (and therefore ``kept``, which is derived from it) holds ONE
-    persisted localCheckpoint RDD — call
-    ``free_local_checkpoint(result.clusters)`` once every frame has
-    been consumed, or the |nodes|-row block set outlives the call."""
+    intermediate frames a caller needs for reporting. Lifecycle —
+    once every frame has been consumed: ``result.pairs.unpersist()``
+    (the pair frame is returned persisted, since CC's eager
+    checkpoint and any caller-side count would otherwise each re-run
+    the LSH join) and ``free_local_checkpoint(result.clusters)``
+    (``clusters``/``kept`` hold one persisted localCheckpoint RDD)."""
 
     kept: DataFrame      # original columns, dropped docs removed
     pairs: DataFrame     # verified near-dup pairs (id_a, id_b)
@@ -418,6 +419,13 @@ def dedup_pipeline(
     pairs = minhash_near_duplicates(
         df, id_col, text_col, threshold, num_hashes, bands, shingle_n
     ).select("id_a", "id_b")
+    # persist BEFORE connected_components: CC is eager (it
+    # localCheckpoints per round), so the LSH self-join + Jaccard
+    # verify — the pipeline's most expensive stage — would otherwise
+    # run once for the edge frame and again for every later consumer
+    # of `pairs`. The caller owns the unpersist (see
+    # DedupPipelineResult docstring).
+    pairs.persist()
     clusters = connected_components(pairs)
     drops = clusters.where(F.col("doc_id") != F.col("cluster_id")).select(
         F.col("doc_id").alias(id_col)
@@ -450,9 +458,6 @@ def free_local_checkpoint(df: DataFrame | None) -> None:
     except Exception:
         pass
 
-
-# internal alias (historical name used by connected_components)
-_free_local_checkpoint = free_local_checkpoint
 
 
 def connected_components(
@@ -532,18 +537,18 @@ def connected_components(
         # changed-count — free its checkpoint blocks now, or up to
         # max_iterations frames of |nodes| rows pile up in storage
         # and outlive the call in long-lived sessions
-        _free_local_checkpoint(labels)
+        free_local_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             # edges' blocks are also dead now; labels stays persisted —
             # it IS the (lineage-truncated) result the caller reads
-            _free_local_checkpoint(edges)
+            free_local_checkpoint(edges)
             return labels.select(
                 F.col("node").alias("doc_id"),
                 F.col("label").alias("cluster_id"),
             )
-    _free_local_checkpoint(edges)
-    _free_local_checkpoint(labels)
+    free_local_checkpoint(edges)
+    free_local_checkpoint(labels)
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} "
         "rounds — component diameter exceeds the bound; raise "

@@ -38,6 +38,7 @@ def write_sized_parquet(
     target_files_per_partition: int | None = None,
     sort_within: tuple[str, ...] = (),
     mode: str = "overwrite",
+    repartition_num: int | None = None,
 ) -> None:
     """Corpus-scale parquet writer with explicit output-file sizing —
     the piece naive ``df.write.parquet`` gets wrong at 100 TB, in both
@@ -49,10 +50,16 @@ def write_sized_parquet(
     - ``maxRecordsPerFile`` caps file size task-locally (a task rolls
       to a new file at the cap — no extra shuffle).
     - ``target_files_per_partition`` repartitions by (partition_cols +
-      deterministic pseudo-random bucket) first, so each hive
-      partition is written by exactly that many tasks: file count =
-      partitions × target, independent of upstream task count, and hot
-      partitions spread over `target` writers instead of one.
+      deterministic pseudo-random bucket) first. This gives a HARD
+      UPPER BOUND of ``target`` data files per hive partition (each
+      (partition, bucket) group lands wholly in one task) regardless
+      of upstream task count. The spread of a hot partition over the
+      full ``target`` writers is BEST-EFFORT: hash collisions across
+      groups and AQE partition coalescing can place several of its
+      buckets in one task. When writer spread matters more than
+      shuffle width (one hot partition dominating the table), pass
+      ``repartition_num`` ≥ expected #groups so each group gets its
+      own shuffle partition and AQE has nothing to coalesce away.
     - ``sort_within`` orders rows inside each task before writing —
       parquet min/max stats on those columns become selective, the
       cheap substitute for Z-ordering.
@@ -63,8 +70,11 @@ def write_sized_parquet(
             F.xxhash64(*[F.col(c) for c in df.columns]),
             F.lit(target_files_per_partition),
         )
-        out = out.repartition(
-            *[F.col(c) for c in partition_cols], bucket
+        cols = [*[F.col(c) for c in partition_cols], bucket]
+        out = (
+            out.repartition(repartition_num, *cols)
+            if repartition_num
+            else out.repartition(*cols)
         )
     if sort_within:
         out = out.sortWithinPartitions(*sort_within)

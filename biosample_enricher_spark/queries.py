@@ -2837,6 +2837,10 @@ def dedup_lsh_cc_keepfirst(spark, sf_dir):
         "n_chars",
     )
     corpus = d.unionByName(clones)
+    # count BEFORE the rebalance below: repartition preserves row
+    # count, and counting the pre-shuffle frame is a scan-only
+    # partial-count with no exchange
+    n_corpus = corpus.count()
     # the 64-hash MinHash signature projection is the CPU hot spot and
     # inherits the scan's split count — a single small parquet file
     # yields 2 splits, wasting 15/16 of the cluster. Rebalance ONLY
@@ -2846,12 +2850,9 @@ def dedup_lsh_cc_keepfirst(spark, sf_dir):
     target = spark.sparkContext.defaultParallelism
     if corpus.rdd.getNumPartitions() < target:
         corpus = corpus.repartition(target)
+    # pairs come back persisted (see dedup_pipeline) so CC's edge
+    # checkpoint and this count share one LSH execution
     res = dedup_pipeline(corpus, "doc_id", "text", threshold=0.6)
-    # persist the verified pairs: both the count and CC's edge
-    # checkpoint consume them, and the LSH self-join is the pipeline's
-    # most expensive stage — without this it runs twice
-    res.pairs.persist()
-    n_corpus = corpus.count()
     n_pairs = res.pairs.count()
     crow = res.clusters.agg(
         F.count(F.lit(1)).alias("n_clustered"),

@@ -392,8 +392,13 @@ def test_connected_components_frees_superseded_checkpoints(spark):
         connected_components,
     )
 
-    jsc = spark.sparkContext._jsc.sc()
-    before = jsc.getPersistentRDDs().size()
+    # compare persisted-RDD ID SETS, not counts: Spark's ContextCleaner
+    # asynchronously unpersists GC'd RDDs from earlier tests, so raw
+    # counts can shrink mid-test and mask (or fake) a leak
+    before = {
+        int(k)
+        for k in spark.sparkContext._jsc.getPersistentRDDs().keySet()
+    }
     # 10 chains of length 4 → diameter 3, multi-round convergence
     pairs = spark.createDataFrame(
         [(10 * c + i, 10 * c + i + 1) for c in range(10) for i in range(3)],
@@ -401,10 +406,13 @@ def test_connected_components_frees_superseded_checkpoints(spark):
     )
     out = connected_components(pairs)
     assert out.count() == 40
-    after = jsc.getPersistentRDDs().size()
-    assert after - before <= 1, (
-        f"CC leaked {after - before} persisted RDDs (want ≤1: the "
-        "returned label frame only)"
+    new = {
+        int(k)
+        for k in spark.sparkContext._jsc.getPersistentRDDs().keySet()
+    } - before
+    assert len(new) <= 1, (
+        f"CC leaked persisted RDDs {new} (want ≤1: the returned label "
+        "frame only)"
     )
 
 
@@ -440,8 +448,14 @@ def test_dedup_pipeline_kept_corpus_and_zero_leak(spark):
     )
 
     base = "the quick brown fox jumps over the lazy dog again and again"
-    jsc = spark.sparkContext._jsc.sc()
-    before = jsc.getPersistentRDDs().size()
+    # ID-set comparison (not counts): immune to ContextCleaner
+    # concurrently unpersisting stale RDDs from earlier tests, which
+    # would otherwise mask a genuine 1-RDD leak behind a -1 from
+    # cleanup
+    before = {
+        int(k)
+        for k in spark.sparkContext._jsc.getPersistentRDDs().keySet()
+    }
     df = spark.createDataFrame(
         [
             (1, base),
@@ -456,14 +470,14 @@ def test_dedup_pipeline_kept_corpus_and_zero_leak(spark):
     kept_ids = sorted(r.doc_id for r in res.kept.collect())
     n_pairs = res.pairs.count()
     n_clusters = res.clusters.select("cluster_id").distinct().count()
+    res.pairs.unpersist(blocking=True)  # returned persisted by contract
     free_local_checkpoint(res.clusters)
 
     assert kept_ids == [1, 3, 9]
     assert n_pairs == 3  # (1,2), (1,7), (2,7)
     assert n_clusters == 1
-    after = jsc.getPersistentRDDs().size()
-    # <= 0, not == 0: Spark's ContextCleaner asynchronously unpersists
-    # RDDs from EARLIER tests whose Python refs were GC'd, so the
-    # absolute count can shrink mid-test; the invariant is only that
-    # THIS call adds nothing
-    assert after - before <= 0, f"pipeline leaked {after - before} RDDs"
+    new = {
+        int(k)
+        for k in spark.sparkContext._jsc.getPersistentRDDs().keySet()
+    } - before
+    assert not new, f"pipeline leaked persisted RDDs {new}"
