@@ -70,13 +70,36 @@ def bpe_token_count(text: Column) -> Column:
     return F.regexp_count(text, F.lit(BPE_ISH_PATTERN))
 
 
+# the word-character class both engines agree on. NEVER use \b for
+# cross-engine marker matching: Java's \b is Unicode-aware regardless
+# of flags ('ofé' has NO boundary after 'of' in Java) while RE2's \b
+# is ASCII-\w based ('ofé' DOES end a word in RE2) — measured
+# divergence on é/中-adjacent markers. Splitting on the explicit
+# non-word class and comparing whole tokens has exactly one meaning
+# in both engines (and equals ASCII-\b counting on ASCII text).
+WORD_SPLIT = r"[^a-z0-9_]+"
+
+
 def _marker_regex(markers: tuple[str, ...]) -> str:
+    """ASCII-\\b marker alternation — kept for plain-Python parity
+    models only (python re's \\b on lowercase ASCII text); engine
+    code paths use the split-token form below."""
     return r"\b(" + "|".join(markers) + r")\b"
 
 
 def marker_hits(text: Column, markers: tuple[str, ...]) -> Column:
-    """Count of language-marker word occurrences (case-insensitive)."""
-    return F.regexp_count(F.lower(text), F.lit(_marker_regex(markers)))
+    """Count of language-marker word occurrences (case-insensitive):
+    maximal [a-z0-9_]+ runs of the lowercased text that equal a
+    marker. Null text → null (matching the old regexp_count form)."""
+    marker_arr = F.array(*[F.lit(m) for m in markers])
+
+    def is_marker(tok: Column) -> Column:
+        return F.array_contains(marker_arr, tok)
+
+    toks = F.split(F.lower(text), WORD_SPLIT)
+    return F.when(
+        text.isNotNull(), F.size(F.filter(toks, is_marker))
+    )
 
 
 def lang_scores(text: Column) -> dict[str, Column]:

@@ -713,19 +713,28 @@ def text_token_count(spark, sf_dir):
     )
 
 
+def _marker_hits_sql(markers: tuple[str, ...]) -> str:
+    """Split-token marker counting for the DuckDB oracle — built from
+    the SAME constants as the Spark side, and the same split-compare
+    semantics (never \\b: Java's \\b is Unicode-aware, RE2's is ASCII —
+    they diverge on é/中-adjacent markers)."""
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return (
+        "len(list_filter(string_split_regex(lower(text), '"
+        + X.WORD_SPLIT
+        + f"'), x -> x IN ({lst})))"
+    )
+
+
 @q(
     "text_lang_id",
-    """
+    f"""
     WITH scored AS (
       SELECT doc_id,
-        len(regexp_extract_all(lower(text),
-          '\\b(the|and|of|to|in|is|that|for|with|was)\\b')) AS en_h,
-        len(regexp_extract_all(lower(text),
-          '\\b(der|die|das|und|ist|nicht|ein|mit|von|zu)\\b')) AS de_h,
-        len(regexp_extract_all(lower(text),
-          '\\b(le|la|les|et|est|une|que|pour|dans|des)\\b')) AS fr_h,
-        len(regexp_extract_all(lower(text),
-          '\\b(el|la|los|las|es|que|una|por|para|con)\\b')) AS es_h
+        {_marker_hits_sql(X.EN_MARKERS)} AS en_h,
+        {_marker_hits_sql(X.DE_MARKERS)} AS de_h,
+        {_marker_hits_sql(X.FR_MARKERS)} AS fr_h,
+        {_marker_hits_sql(X.ES_MARKERS)} AS es_h
       FROM documents WHERE text IS NOT NULL
     )
     SELECT doc_id,

@@ -201,3 +201,60 @@ def test_tokenizer_fingerprint_bpe_cross_engine_fuzz(spark, texts):
         ).fetchall()
     }
     assert got == exp
+
+
+# alphabet that can actually FORM the EN markers (the/and/of/to/in/is/
+# that/for/with/was) plus boundary-relevant junk: digits and '_' (both
+# \w — a marker glued to them must NOT count), punctuation/whitespace
+# (non-\w — must count), and non-ASCII letters (é/中: outside ASCII \w
+# in BOTH engines' default \b, so 'théat' boundaries are the sharp
+# cross-engine case)
+MARKER_TEXTS = st.lists(
+    st.text(alphabet="thandofisw ér中0_.'-\t\x0b", min_size=0, max_size=24),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(
+    max_examples=6, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(texts=MARKER_TEXTS)
+def test_lang_marker_hits_cross_engine_fuzz(spark, texts):
+    """Marker counting must agree between engines on arbitrary text
+    including non-ASCII letters next to markers — the case where
+    \\b-based counting provably DIVERGES (Java's \\b is Unicode-aware,
+    RE2's is ASCII; measured: 'ofé' counts 0 in Java, 1 in RE2), which
+    is why both sides use split-token counting instead. lang_id is
+    pure arithmetic over these counts, so its parity follows."""
+    import duckdb
+
+    from biosample_enricher_spark.operators.text import (
+        EN_MARKERS,
+        WORD_SPLIT,
+        marker_hits,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r.id: r.n_en
+        for r in df.select(
+            "id", marker_hits(F.col("text"), EN_MARKERS).alias("n_en")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tt (id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO tt VALUES (?, ?)", rows)
+    lst = ", ".join(f"'{m}'" for m in EN_MARKERS)
+    exp = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"""SELECT id, len(list_filter(
+                  string_split_regex(lower(text), '{WORD_SPLIT}'),
+                  x -> x IN ({lst}))) FROM tt"""
+        ).fetchall()
+    }
+    assert got == exp
