@@ -426,7 +426,14 @@ def dedup_pipeline(
     # of `pairs`. The caller owns the unpersist (see
     # DedupPipelineResult docstring).
     pairs.persist()
-    clusters = connected_components(pairs)
+    try:
+        clusters = connected_components(pairs)
+    except Exception:
+        # CC is eager — on failure (non-convergence, task loss) the
+        # caller never receives the handle, so free the cache here or
+        # repeated failed invocations accumulate pair frames
+        pairs.unpersist()
+        raise
     drops = clusters.where(F.col("doc_id") != F.col("cluster_id")).select(
         F.col("doc_id").alias(id_col)
     )

@@ -50,20 +50,33 @@ def write_sized_parquet(
     - ``maxRecordsPerFile`` caps file size task-locally (a task rolls
       to a new file at the cap — no extra shuffle).
     - ``target_files_per_partition`` repartitions by (partition_cols +
-      deterministic pseudo-random bucket) first. This gives a HARD
-      UPPER BOUND of ``target`` data files per hive partition (each
-      (partition, bucket) group lands wholly in one task) regardless
-      of upstream task count. The spread of a hot partition over the
-      full ``target`` writers is BEST-EFFORT: hash collisions across
+      deterministic pseudo-random bucket) first. This bounds the
+      number of WRITER TASKS per hive partition at ``target``
+      regardless of upstream task count (each (partition, bucket)
+      group lands wholly in one task); the file count per partition is
+      therefore at most ``target × ceil(task_rows /
+      max_records_per_file)`` — the record cap still rolls oversized
+      tasks, by design. The spread of a hot partition over the full
+      ``target`` writers is BEST-EFFORT: hash collisions across
       groups and AQE partition coalescing can place several of its
       buckets in one task. When writer spread matters more than
       shuffle width (one hot partition dominating the table), pass
       ``repartition_num`` ≥ expected #groups so each group gets its
-      own shuffle partition and AQE has nothing to coalesce away.
+      own shuffle partition and AQE has nothing to coalesce away
+      (requires ``target_files_per_partition``; rejected otherwise
+      rather than silently ignored).
     - ``sort_within`` orders rows inside each task before writing —
       parquet min/max stats on those columns become selective, the
       cheap substitute for Z-ordering.
     """
+    if repartition_num is not None:
+        if repartition_num < 1:
+            raise ValueError(f"repartition_num must be >= 1, got {repartition_num}")
+        if not target_files_per_partition:
+            raise ValueError(
+                "repartition_num requires target_files_per_partition "
+                "(it sizes the shuffle that the bucketing creates)"
+            )
     out = df
     if target_files_per_partition:
         bucket = F.pmod(

@@ -79,24 +79,41 @@ def bpe_token_count(text: Column) -> Column:
 # in both engines (and equals ASCII-\b counting on ASCII text).
 WORD_SPLIT = r"[^a-z0-9_]+"
 
+# ASCII-only case fold for marker matching. lower() is ALSO an
+# engine-divergence source: Spark applies full Unicode case mapping
+# (lower('İ') = 'i' + combining dot U+0307) while DuckDB's utf8proc
+# gives plain 'i' — measured 0-vs-1 marker counts on 'İs'. The
+# markers are ASCII words, so a char-for-char ASCII translate (which
+# means exactly one thing in both engines) is the correct fold;
+# non-ASCII uppercase stays unfolded and falls into the split class
+# consistently on both sides.
+ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+def ascii_lower(text: Column) -> Column:
+    return F.translate(text, ASCII_UPPER, ASCII_LOWER)
+
 
 def _marker_regex(markers: tuple[str, ...]) -> str:
-    """ASCII-\\b marker alternation — kept for plain-Python parity
-    models only (python re's \\b on lowercase ASCII text); engine
-    code paths use the split-token form below."""
+    """ASCII-\\b marker alternation — the plain-Python parity model
+    (python re's \\b on ASCII-folded ASCII text equals the split-token
+    count; pinned in tests/test_text_ops.py); engine code paths use
+    the split-token form below."""
     return r"\b(" + "|".join(markers) + r")\b"
 
 
 def marker_hits(text: Column, markers: tuple[str, ...]) -> Column:
-    """Count of language-marker word occurrences (case-insensitive):
-    maximal [a-z0-9_]+ runs of the lowercased text that equal a
-    marker. Null text → null (matching the old regexp_count form)."""
+    """Count of language-marker word occurrences (ASCII-case-
+    insensitive): maximal [a-z0-9_]+ runs of the ASCII-folded text
+    that equal a marker. Null text → null (matching the old
+    regexp_count form)."""
     marker_arr = F.array(*[F.lit(m) for m in markers])
 
     def is_marker(tok: Column) -> Column:
         return F.array_contains(marker_arr, tok)
 
-    toks = F.split(F.lower(text), WORD_SPLIT)
+    toks = F.split(ascii_lower(text), WORD_SPLIT)
     return F.when(
         text.isNotNull(), F.size(F.filter(toks, is_marker))
     )

@@ -717,10 +717,13 @@ def _marker_hits_sql(markers: tuple[str, ...]) -> str:
     """Split-token marker counting for the DuckDB oracle — built from
     the SAME constants as the Spark side, and the same split-compare
     semantics (never \\b: Java's \\b is Unicode-aware, RE2's is ASCII —
-    they diverge on é/中-adjacent markers)."""
+    they diverge on é/中-adjacent markers; and ASCII translate instead
+    of lower(): Spark full-case-maps 'İ' to i+combining-dot, DuckDB to
+    'i')."""
     lst = ", ".join(f"'{m}'" for m in markers)
     return (
-        "len(list_filter(string_split_regex(lower(text), '"
+        f"len(list_filter(string_split_regex(translate(text, "
+        f"'{X.ASCII_UPPER}', '{X.ASCII_LOWER}'), '"
         + X.WORD_SPLIT
         + f"'), x -> x IN ({lst})))"
     )

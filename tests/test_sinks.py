@@ -97,3 +97,24 @@ def test_write_sized_parquet_controls_file_count_and_size(spark, tmp_path):
     files2 = glob.glob(f"{out2}/lang=0/*.parquet")
     assert len(files2) >= 6  # ~3334 rows / 500 cap
     assert spark.read.parquet(out2).count() == 10_000
+
+
+def test_write_sized_parquet_rejects_orphan_repartition_num(spark, tmp_path):
+    """repartition_num without target_files_per_partition must raise,
+    not be silently ignored (it sizes the shuffle the bucketing
+    creates — alone it has nothing to act on)."""
+    import pytest
+
+    from biosample_enricher_spark.operators.sinks import write_sized_parquet
+
+    df = spark.range(10).selectExpr("id", "cast(id % 2 as string) lang")
+    with pytest.raises(ValueError, match="requires target_files_per_partition"):
+        write_sized_parquet(
+            df, str(tmp_path / "x"), partition_cols=("lang",),
+            repartition_num=4,
+        )
+    with pytest.raises(ValueError, match=">= 1"):
+        write_sized_parquet(
+            df, str(tmp_path / "y"), partition_cols=("lang",),
+            target_files_per_partition=2, repartition_num=0,
+        )

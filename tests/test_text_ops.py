@@ -70,14 +70,17 @@ def test_quality_score_bounded_and_monotone_on_length(spark, docs):
 
 
 def test_en_marker_counting_matches_python(spark):
+    """Split-token counting equals ASCII-\\b regex counting on ASCII
+    text — the equivalence _marker_regex documents."""
     text = "The cat and the dog went to the park and that was fun"
     df = spark.createDataFrame([(text,)], ["text"])
-    from biosample_enricher_spark.operators.text import marker_hits
+    from biosample_enricher_spark.operators.text import (
+        _marker_regex,
+        marker_hits,
+    )
 
     got = df.select(marker_hits(F.col("text"), EN_MARKERS).alias("n")).first().n
-    expected = len(
-        re.findall(r"\b(" + "|".join(EN_MARKERS) + r")\b", text.lower())
-    )
+    expected = len(re.findall(_marker_regex(EN_MARKERS), text.lower()))
     assert got == expected == 8
 
 
@@ -206,11 +209,16 @@ def test_tokenizer_fingerprint_bpe_cross_engine_fuzz(spark, texts):
 # alphabet that can actually FORM the EN markers (the/and/of/to/in/is/
 # that/for/with/was) plus boundary-relevant junk: digits and '_' (both
 # \w — a marker glued to them must NOT count), punctuation/whitespace
-# (non-\w — must count), and non-ASCII letters (é/中: outside ASCII \w
-# in BOTH engines' default \b, so 'théat' boundaries are the sharp
-# cross-engine case)
+# (non-\w — must count), non-ASCII letters (é/中: the sharp Java-\b vs
+# RE2-\b case), UPPERCASE ASCII (exercises the case fold), and the
+# case-mapping landmines İ (Spark full-maps to i+combining-dot, DuckDB
+# to plain i — why the fold is ASCII translate, not lower()) and ß
 MARKER_TEXTS = st.lists(
-    st.text(alphabet="thandofisw ér中0_.'-\t\x0b", min_size=0, max_size=24),
+    st.text(
+        alphabet="thandofiswTHEOF ér中İß0_.'-\t\x0b",
+        min_size=0,
+        max_size=24,
+    ),
     min_size=1,
     max_size=30,
 )
@@ -231,6 +239,8 @@ def test_lang_marker_hits_cross_engine_fuzz(spark, texts):
     import duckdb
 
     from biosample_enricher_spark.operators.text import (
+        ASCII_LOWER,
+        ASCII_UPPER,
         EN_MARKERS,
         WORD_SPLIT,
         marker_hits,
@@ -253,7 +263,9 @@ def test_lang_marker_hits_cross_engine_fuzz(spark, texts):
         r[0]: r[1]
         for r in con.execute(
             f"""SELECT id, len(list_filter(
-                  string_split_regex(lower(text), '{WORD_SPLIT}'),
+                  string_split_regex(
+                    translate(text, '{ASCII_UPPER}', '{ASCII_LOWER}'),
+                    '{WORD_SPLIT}'),
                   x -> x IN ({lst}))) FROM tt"""
         ).fetchall()
     }
