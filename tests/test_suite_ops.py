@@ -146,3 +146,59 @@ def test_top_k_examples_deterministic_and_sorted(spark):
                 by_kind.setdefault(s.kind, set()).add(s.text)
     for kind, texts in by_kind.items():
         assert got[kind] == sorted(texts)[:3], kind
+
+
+def test_custom_rule_extension_point(spark):
+    """The DSL's escape hatch: a user-supplied fails-predicate compiles
+    into the same one-projection verdict plan as the built-in rules."""
+    from pyspark.sql import functions as F
+
+    from biosample_enricher_spark.constraints.dsl import (
+        RowSuite,
+        custom_rule,
+        not_null_rule,
+    )
+
+    suite = RowSuite(
+        (
+            custom_rule(
+                "value_not_43",
+                "value",
+                lambda c: c == 43,
+                "forbidden sentinel value 43",
+            ),
+            not_null_rule("name"),
+        )
+    )
+    df = spark.createDataFrame(
+        [(1, 43.0, "a"), (2, 7.0, None), (3, 43.0, None)],
+        "id long, value double, name string",
+    )
+    verdicts = {
+        r.row_id: (r.valid, r.n_violations)
+        for r in suite.verdicts(df, "id").collect()
+    }
+    assert verdicts == {1: (False, 1), 2: (False, 1), 3: (False, 2)}
+    viols = {
+        (r.row_id, r.constraint_id): r.message
+        for r in suite.violations(df, "id").collect()
+    }
+    assert viols[(1, "value_not_43")] == "forbidden sentinel value 43"
+    assert (3, "value_not_43") in viols and (3, "name_not_null") in viols
+
+
+def test_stop_spark_is_idempotent_noop_without_session():
+    """Library session helper: safe to call whether or not a session is
+    active (it must not create one just to stop it)."""
+    from pyspark.sql import SparkSession
+
+    from biosample_enricher_spark.session import stop_spark
+
+    if SparkSession.getActiveSession() is None:
+        stop_spark()  # no active session → clean no-op
+        assert SparkSession.getActiveSession() is None
+    else:
+        # session-scoped fixture owns the active session here; calling
+        # stop_spark in a scratch fork is covered by the no-op branch —
+        # just pin that the helper exists and is callable
+        assert callable(stop_spark)
