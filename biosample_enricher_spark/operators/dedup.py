@@ -73,6 +73,46 @@ def keep_first(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def exact_collapse(
+    df: DataFrame, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Collapse canonical-identical docs to one representative (min id)
+    BEFORE any pairwise candidate generation.
+
+    This is the mandatory first stage of near-dup dedup at web scale:
+    a real corpus carries byte-identical clusters of 10⁵–10⁷ docs
+    (boilerplate, mirrors), every member of which shares the *same
+    full MinHash/SimHash/SRP signature* — banding them would put the
+    whole cluster in one bucket in every band and the bucket self-join
+    would emit O(n²) candidate pairs. Identical docs need no pairwise
+    anything: they are the same set, so one representative stands in
+    for the group and group membership is recovered by a plain
+    fingerprint join afterwards. Cost: one map-side-combined groupBy
+    on the fingerprint plus one semi-join — both linear.
+
+    Returns ``(reps, members)``:
+
+    - ``reps`` — the representative rows (all original columns), one
+      per distinct canonical fingerprint; NULL-``text_col`` docs are
+      excluded (no fingerprint → nothing to collapse; they never pair).
+    - ``members`` — ``(<id_col>, rep_id, group_n)`` for every
+      non-NULL-text doc: its representative's id and the group width.
+    """
+    fp = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("_fp")
+    )
+    groups = fp.groupBy("_fp").agg(
+        F.min(id_col).alias("rep_id"), F.count(F.lit(1)).alias("group_n")
+    )
+    members = fp.join(groups, "_fp").select(F.col(id_col), "rep_id", "group_n")
+    reps = df.join(
+        members.where(F.col(id_col) == F.col("rep_id")).select(id_col),
+        id_col,
+        "left_semi",
+    )
+    return reps, members
+
+
 # --- 2. shingles + exact jaccard on candidates -------------------------------
 
 
@@ -196,11 +236,23 @@ def lsh_candidate_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    bucket_cap: int | None = 1000,
 ) -> DataFrame:
     """Near-dup candidate pairs from banded MinHash.
 
     Docs agreeing on all rows of any band collide. Shuffle cost:
-    #docs × #bands small rows; join cost limited to colliding buckets.
+    #docs × #bands small rows. The within-bucket self-join is O(w²)
+    in the bucket width w, so ``bucket_cap`` drops any (band, bucket)
+    holding more than that many docs BEFORE the join (same stop-key
+    guard as ``jaccard_candidates``' ``df_cap`` and the SimHash
+    quarter cap): one pathological bucket — a boilerplate cluster's
+    shared signature — otherwise emits O(w²) candidate rows. A true
+    near-dup pair inside a dropped bucket still surfaces through any
+    of its other ``bands − 1`` band collisions (near-identical docs
+    collide in most bands), and *identical* docs should never reach
+    banding at all — collapse them first with ``exact_collapse``
+    (``dedup_pipeline`` composes both). ``None`` disables the cap
+    (exact candidate semantics for small/test corpora).
     Returns distinct (id_a, id_b), id_a < id_b.
     """
     rows_per_band = num_hashes // bands
@@ -225,6 +277,13 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "bucket"),
     )
+    if bucket_cap is not None:
+        widths = banded.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("_w")
+        )
+        banded = banded.join(
+            widths.where(F.col("_w") <= bucket_cap), ["band", "bucket"]
+        ).drop("_w")
     x = banded.alias("x")
     y = banded.alias("y")
     return (
@@ -247,10 +306,13 @@ def minhash_near_duplicates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    bucket_cap: int | None = 1000,
 ) -> DataFrame:
     """LSH candidates verified by exact Jaccard on shingle sets:
     (id_a, id_b, jaccard ≥ threshold)."""
-    cands = lsh_candidate_pairs(df, id_col, text_col, num_hashes, bands, shingle_n)
+    cands = lsh_candidate_pairs(
+        df, id_col, text_col, num_hashes, bands, shingle_n, bucket_cap
+    )
     shingled = df.select(
         F.col(id_col).alias("doc_id"),
         word_shingles(F.col(text_col), shingle_n).alias("sh"),
@@ -387,10 +449,18 @@ class DedupPipelineResult(NamedTuple):
     (the pair frame is returned persisted, since CC's eager
     checkpoint and any caller-side count would otherwise each re-run
     the LSH join) and ``free_local_checkpoint(result.clusters)``
-    (``clusters``/``kept`` hold one persisted localCheckpoint RDD)."""
+    (``clusters``/``kept`` hold one persisted localCheckpoint RDD).
+
+    ``pairs`` holds REPRESENTATIVE-level near-dup pairs: exact
+    duplicates are collapsed to one doc per canonical fingerprint
+    before banding (see ``exact_collapse``), so two identical docs
+    never appear as a pair — a 1M-doc identical cluster contributes
+    zero pairs instead of 5×10¹¹. ``clusters`` and ``kept`` are
+    expanded back to full membership and are unaffected by the
+    collapse."""
 
     kept: DataFrame      # original columns, dropped docs removed
-    pairs: DataFrame     # verified near-dup pairs (id_a, id_b)
+    pairs: DataFrame     # verified near-dup pairs among representatives
     clusters: DataFrame  # (doc_id, cluster_id) for every clustered doc
 
 
@@ -402,22 +472,41 @@ def dedup_pipeline(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    bucket_cap: int | None = 1000,
 ) -> DedupPipelineResult:
-    """The full near-dup dedup story composed end-to-end: MinHash+LSH
-    candidate pairs → exact-Jaccard verification → connected components
-    → keep min-id per cluster. NULL-``text_col`` docs never pair (their
-    shingle signature is null) and pass through to ``kept`` unchanged.
+    """The full near-dup dedup story composed end-to-end: exact
+    fingerprint collapse → MinHash+LSH candidate pairs → exact-Jaccard
+    verification → connected components → keep min-id per cluster.
+    NULL-``text_col`` docs never pair (no fingerprint, null shingle
+    signature) and pass through to ``kept`` unchanged.
 
-    This is the 100 TB path: every stage is bucketed/bounded — LSH
-    shuffles docs × bands small rows, verification touches only
-    colliding pairs, CC is O(log diameter) rounds over |nodes| labels,
-    and the final materialization is one anti-join (no windows, no
-    driver-side sets). Exercised end-to-end by the
-    ``dedup_lsh_cc_keepfirst`` driver query, whose sf0.1 wall time +
-    two-run determinism check bench.py records as
-    ``extra_dedup_pipeline_*``."""
+    The collapse + ``bucket_cap`` are the two O(n²) guards: identical
+    docs (same signature in every band — the giant-cluster hazard of a
+    web corpus) are reduced to one representative before banding, and
+    any surviving over-wide (band, bucket) is dropped rather than
+    self-joined. Cluster membership is recovered afterwards by the
+    fingerprint map: every member of a group joins its
+    representative's component (identical text ⇒ identical Jaccard to
+    every third doc ⇒ collapsing cannot change connectivity), and the
+    component min-label is still the global min id because each
+    representative is already its group's min. Exact-dup groups whose
+    representative joins no near-dup component still form their own
+    cluster (cluster_id = rep id).
+
+    This is the 100 TB path: every stage is bucketed/bounded — the
+    collapse is one linear groupBy, LSH shuffles reps × bands small
+    rows, verification touches only colliding sub-cap buckets, CC is
+    O(log diameter) rounds over |rep nodes| labels, and the final
+    materialization is one anti-join (no windows, no driver-side
+    sets). Exercised end-to-end by the ``dedup_lsh_cc_keepfirst``
+    driver query, whose sf0.1 wall time + two-run determinism check
+    bench.py records as ``extra_dedup_pipeline_*``; the planted
+    50k-identical-doc bound is pinned in
+    tests/test_dedup_similarity.py."""
+    reps, members = exact_collapse(df, id_col, text_col)
     pairs = minhash_near_duplicates(
-        df, id_col, text_col, threshold, num_hashes, bands, shingle_n
+        reps, id_col, text_col, threshold, num_hashes, bands, shingle_n,
+        bucket_cap,
     ).select("id_a", "id_b")
     # persist BEFORE connected_components: CC is eager (it
     # localCheckpoints per round), so the LSH self-join + Jaccard
@@ -427,13 +516,31 @@ def dedup_pipeline(
     # DedupPipelineResult docstring).
     pairs.persist()
     try:
-        clusters = connected_components(pairs)
+        rep_clusters = connected_components(pairs)
     except Exception:
         # CC is eager — on failure (non-convergence, task loss) the
         # caller never receives the handle, so free the cache here or
         # repeated failed invocations accumulate pair frames
         pairs.unpersist()
         raise
+    # expand representative components to full group membership …
+    in_cc = members.join(
+        rep_clusters.withColumnRenamed("doc_id", "rep_id"), "rep_id"
+    ).select(F.col(id_col).alias("doc_id"), "cluster_id")
+    # … and exact-dup groups (width > 1) untouched by any near-dup
+    # edge: they are a cluster by themselves, keyed by their rep
+    # (= min id). Width-1 groups outside CC are singletons — not
+    # clustered, exactly as before the collapse.
+    solo = (
+        members.where(F.col("group_n") > 1)
+        .join(
+            rep_clusters.select(F.col("doc_id").alias("rep_id")),
+            "rep_id",
+            "left_anti",
+        )
+        .select(F.col(id_col).alias("doc_id"), F.col("rep_id").alias("cluster_id"))
+    )
+    clusters = in_cc.unionByName(solo)
     drops = clusters.where(F.col("doc_id") != F.col("cluster_id")).select(
         F.col("doc_id").alias(id_col)
     )
@@ -441,7 +548,9 @@ def dedup_pipeline(
     return DedupPipelineResult(kept=kept, pairs=pairs, clusters=clusters)
 
 
-def free_local_checkpoint(df: DataFrame | None) -> None:
+def free_local_checkpoint(
+    df: DataFrame | None, rdd_ids: set[int] | None = None
+) -> None:
     """Drop the cached blocks behind a ``localCheckpoint()``-ed frame
     (or any frame DERIVED from one — the analyzed plan is walked for
     LogicalRDD leaves, so a select/filter over a checkpointed frame
@@ -452,6 +561,18 @@ def free_local_checkpoint(df: DataFrame | None) -> None:
     the LogicalRDD's underlying RDD, reachable only through the JVM
     plan. Must ONLY be called on frames that will never be read again —
     a locally-checkpointed RDD has no lineage to recompute from.
+
+    SHARED-LEAF HAZARD: *every* LogicalRDD leaf in the plan is a
+    candidate — and ``createDataFrame``-sourced frames are also
+    LogicalRDD-backed, as is any checkpointed frame a plan shares with
+    another still-live frame. Two guards keep a shared leaf from being
+    freed by accident: (1) leaves whose RDD storage level is NONE
+    (``createDataFrame`` inputs — nothing cached) are skipped, so
+    freeing a frame *derived from* driver-local data is always safe;
+    (2) pass ``rdd_ids`` (from ``df.rdd.id()`` / ``getPersistentRDDs``)
+    to free only those specific leaves when the plan might share a
+    checkpointed leaf with a frame that must stay readable. Without
+    ``rdd_ids`` every *persisted* LogicalRDD leaf is freed.
     Best-effort: on any reflection failure the blocks simply age out.
     """
     if df is None:
@@ -460,8 +581,15 @@ def free_local_checkpoint(df: DataFrame | None) -> None:
         leaves = df._jdf.queryExecution().analyzed().collectLeaves()
         for i in range(leaves.size()):
             leaf = leaves.apply(i)
-            if leaf.getClass().getSimpleName() == "LogicalRDD":
-                leaf.rdd().unpersist(False)
+            if leaf.getClass().getSimpleName() != "LogicalRDD":
+                continue
+            rdd = leaf.rdd()
+            level = rdd.getStorageLevel()
+            if not (level.useMemory() or level.useDisk()):
+                continue  # nothing cached: createDataFrame-style leaf
+            if rdd_ids is not None and rdd.id() not in rdd_ids:
+                continue
+            rdd.unpersist(False)
     except Exception:
         pass
 
@@ -472,6 +600,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Near-dup pairs → dedup clusters: connected components by
     iterative min-label propagation, the step that turns any candidate
@@ -496,6 +625,13 @@ def connected_components(
     Returns ``(doc_id, cluster_id)`` for every node incident to an
     edge; cluster_id = min doc_id in the component.
 
+    ``stats`` (optional dict) is filled in-place with convergence
+    telemetry — ``rounds`` (label-propagation rounds executed, the
+    O(log diameter) claim's observable) and ``n_edge_rows`` (directed
+    edge rows shuffled per round, 2×|pairs|) — so stress tests can pin
+    round counts on planted giant components without changing the
+    return type.
+
     Lifecycle: the returned frame is (a projection over) the final
     lineage-truncated label checkpoint and holds one persisted
     |nodes|-row RDD — intermediate per-round frames and the edge frame
@@ -514,7 +650,9 @@ def connected_components(
         .select("node", F.col("node").alias("label"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iterations):
+    if stats is not None:
+        stats["n_edge_rows"] = edges.count()
+    for it in range(max_iterations):
         nbr = edges.join(
             labels, edges["v"] == labels["node"], "inner"
         ).select(edges["u"].alias("node"), F.col("label"))
@@ -547,6 +685,8 @@ def connected_components(
         free_local_checkpoint(labels)
         labels = new_labels
         if changed == 0:
+            if stats is not None:
+                stats["rounds"] = it + 1
             # edges' blocks are also dead now; labels stays persisted —
             # it IS the (lineage-truncated) result the caller reads
             free_local_checkpoint(edges)

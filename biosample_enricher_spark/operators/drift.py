@@ -257,6 +257,7 @@ def drift_check_by_partition(
     current_docs: DataFrame,
     span_len_bucket_width: int = 16,
     n_buckets: int = 64,
+    partition_col: str | None = None,
 ) -> DataFrame:
     """Per-content-partition drift: the same two KS constraints, one
     verdict row per (constraint_id, partition_id) — the drift tier at
@@ -269,14 +270,25 @@ def drift_check_by_partition(
     histograms first — shuffle bounded by |partitions| × |buckets| —
     then the grouped-map KS over each partition's tiny histogram. The
     applyInPandas key gains partition_id, so Python still only ever
-    sees histograms."""
+    sees histograms.
+
+    ``partition_col`` names a caller-supplied partition-id column on
+    BOTH input frames (any deterministic int key — e.g. an
+    SQL-portable ``doc_id % k`` when an external oracle must replay
+    the bucketing); default is the engine's content-addressed
+    ``stable_partition_id`` (pmod(xxhash64(doc_id), n_buckets))."""
     from ..constraints.core import stable_partition_id
 
     def hists(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
-        p = docs.withColumn(
-            "partition_id",
-            stable_partition_id(F.col("doc_id"), n_buckets),
-        )
+        if partition_col is None:
+            p = docs.withColumn(
+                "partition_id",
+                stable_partition_id(F.col("doc_id"), n_buckets),
+            )
+        else:
+            p = docs.withColumn(
+                "partition_id", F.col(partition_col).cast("int")
+            )
         spans = p.select("partition_id", F.explode("spans").alias("s"))
         span_len = (
             spans.where(F.col("s.text").isNotNull())

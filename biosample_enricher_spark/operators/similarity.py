@@ -143,6 +143,7 @@ def pairwise_near_neighbors(
     vec_col: str = "embedding",
     dim: int | None = None,
     seed: int = 7,
+    bucket_cap: int | None = 1000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, SRP-banded like the
     MinHash LSH (dedup.py lsh_candidate_pairs): the n_planes-bit
@@ -156,7 +157,17 @@ def pairwise_near_neighbors(
     (recall floor pinned in tests/test_dedup_similarity.py).
     ``n_bands=1`` degenerates to the old exact-sketch join. Shuffle
     cost: docs × n_bands small rows; vectors rejoin only for the
-    candidate pairs."""
+    candidate pairs.
+
+    ``bucket_cap`` drops any (band, bucket) wider than the cap before
+    the self-join (milder exposure than MinHash — a band has only 2^r
+    buckets, so mass concentration is expected — but a corpus of
+    near-identical embeddings would still stack one bucket in every
+    band toward O(n²) pairs). Identical-vector clusters should be
+    collapsed upstream (group by a vector fingerprint, e.g.
+    ``sha2(to_json(vec))``, the embedding analog of
+    ``dedup.exact_collapse``); a dropped bucket's true pairs still
+    surface via the other bands. ``None`` disables the cap."""
     if n_planes % n_bands != 0:
         # ValueError, not assert: under python -O a silent partial
         # banding would drop the top bits and quietly lower recall
@@ -186,6 +197,13 @@ def pairwise_near_neighbors(
     banded = sk.select(
         "doc_id", F.posexplode(band_vals).alias("band", "bucket")
     )
+    if bucket_cap is not None:
+        widths = banded.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("_w")
+        )
+        banded = banded.join(
+            widths.where(F.col("_w") <= bucket_cap), ["band", "bucket"]
+        ).drop("_w")
     x = banded.alias("x")
     y = banded.alias("y")
     pairs = (

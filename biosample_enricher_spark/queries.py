@@ -794,9 +794,38 @@ def dedup_exact_groups(spark, sf_dir):
 
 @q("dedup_minhash_pairs")  # rows-only: LSH banding is not SQL-expressible
 def dedup_minhash_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup pairs, upgraded (r4 VERDICT #6) from a bare
+    "ran" row to a QUANTIFIED row: each pair carries ``in_exact``
+    (membership in the exhaustive inverted-index Jaccard tier — the
+    precision signal; verified pairs must all be true) and the
+    frame-constant ``n_true`` / ``recall`` vs that exact tier (the
+    recall signal — tests/test_dedup_similarity.py pins the floor).
+    The exact tier shares the candidate-pruned shingle-index shape, so
+    this stays a bucketed plan end-to-end — no all-pairs stage."""
     d = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    return D.minhash_near_duplicates(
+    pairs = D.minhash_near_duplicates(
         d, "doc_id", "text", threshold=0.7, num_hashes=64, bands=16
+    )
+    exact = D.jaccard_candidates(d, "doc_id", "text", n=3, threshold=0.7).select(
+        "id_a", "id_b", F.lit(True).alias("in_exact")
+    )
+    joined = pairs.join(exact, ["id_a", "id_b"], "left").select(
+        "id_a",
+        "id_b",
+        "jaccard",
+        F.coalesce("in_exact", F.lit(False)).alias("in_exact"),
+    )
+    w = W.partitionBy()
+    n_true = exact.agg(F.count(F.lit(1)).alias("n")).select("n")
+    return joined.crossJoin(F.broadcast(n_true)).select(
+        "id_a",
+        "id_b",
+        "jaccard",
+        "in_exact",
+        F.col("n").alias("n_true"),
+        F.round(
+            F.sum(F.col("in_exact").cast("int")).over(w) / F.col("n"), 4
+        ).alias("recall"),
     )
 
 
@@ -830,11 +859,36 @@ def ann_bruteforce_topk(spark, sf_dir):
 
 @q("ann_srp_topk")  # rows-only: sketch prefilter is engine-specific
 def ann_srp_topk(spark, sf_dir):
+    """SRP-prefiltered cosine top-k, upgraded (r4 VERDICT #6) with
+    quantified columns: ``in_exact_topk`` marks whether the row is
+    also in the brute-force exact top-k and ``recall_at_k`` is the
+    frame-constant overlap fraction (floor pinned in
+    tests/test_dedup_similarity.py). The exact side is the engine's
+    own SQL-oracled ``ann_bruteforce_topk`` tier — k rows, broadcast."""
     emb = t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    return S.srp_topk(emb, list(qvec), k=10, n_planes=16, max_hamming=8)
+    k = 10
+    approx = S.srp_topk(emb, list(qvec), k=k, n_planes=16, max_hamming=8)
+    exact = S.brute_force_topk(emb, list(qvec), k=k).select(
+        "vec_id", F.lit(True).alias("in_exact_topk")
+    )
+    w = W.partitionBy()
+    return (
+        approx.join(F.broadcast(exact), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cos_sim",
+            F.coalesce("in_exact_topk", F.lit(False)).alias("in_exact_topk"),
+        )
+        .withColumn(
+            "recall_at_k",
+            F.round(
+                F.sum(F.col("in_exact_topk").cast("int")).over(w) / F.lit(k), 4
+            ),
+        )
+    )
 
 
 # =====================================================================
@@ -2324,14 +2378,76 @@ def drift_psi_source(spark, sf_dir):
 
 
 
-@q("drift_ks_by_partition")
+@q(
+    "drift_ks_by_partition",
+    """
+    WITH d AS (
+      SELECT CAST(doc_id % 8 AS INT) AS partition_id,
+             doc_id % 3 = 0 AS is_base, text
+      FROM documents
+    ),
+    len_h AS (
+      SELECT 'drift_span_length' AS constraint_id, partition_id,
+             CAST(floor(length(text) / 16) * 16 AS BIGINT) AS bucket,
+             sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS nb_,
+             sum(CASE WHEN NOT is_base THEN 1 ELSE 0 END) AS nc_
+      FROM d WHERE text IS NOT NULL
+      GROUP BY partition_id, bucket
+    ),
+    kind_h AS (
+      SELECT 'drift_kind_frequency' AS constraint_id, partition_id,
+             CAST(0 AS BIGINT) AS bucket,
+             sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS nb_,
+             sum(CASE WHEN NOT is_base THEN 1 ELSE 0 END) AS nc_
+      FROM d GROUP BY partition_id
+    ),
+    h AS (SELECT * FROM len_h UNION ALL SELECT * FROM kind_h),
+    tot AS (
+      SELECT constraint_id, partition_id,
+             CAST(sum(nb_) AS BIGINT) AS na, CAST(sum(nc_) AS BIGINT) AS nb
+      FROM h GROUP BY constraint_id, partition_id
+    ),
+    cdf AS (
+      SELECT constraint_id, partition_id,
+             sum(nb_) OVER w AS ca, sum(nc_) OVER w AS cb
+      FROM h
+      WINDOW w AS (PARTITION BY constraint_id, partition_id
+                   ORDER BY bucket)
+    ),
+    ks AS (
+      SELECT c.constraint_id, c.partition_id,
+             max(abs(c.ca * 1.0 / t.na - c.cb * 1.0 / t.nb)) AS ks_stat
+      FROM cdf c JOIN tot t USING (constraint_id, partition_id)
+      GROUP BY c.constraint_id, c.partition_id
+    )
+    SELECT t.constraint_id, t.partition_id, k.ks_stat,
+           t.na AS n_base, t.nb AS n_cur,
+           1.3581015157406195 * sqrt((t.na + t.nb) * 1.0
+                                     / (t.na * t.nb)) AS d_crit,
+           k.ks_stat <= 1.3581015157406195 * sqrt((t.na + t.nb) * 1.0
+                                                  / (t.na * t.nb))
+             AS passed
+    FROM tot t JOIN ks k USING (constraint_id, partition_id)
+    ORDER BY constraint_id, partition_id
+    """,
+)
 def drift_ks_by_partition(spark, sf_dir):
     """Per-content-partition KS drift (north_rule per-partition
     granularity): documents table lifted to spans, doc_id%3 split,
-    one verdict row per (constraint, partition). Rows-only — the
-    partition key is pmod(xxhash64(...)), which DuckDB lacks; exact
-    per-bucket parity vs the global drift_check is pinned in
-    tests/test_drift.py."""
+    one verdict row per (constraint, partition).
+
+    r5 upgrade (r4 VERDICT #3): now EXACTLY SQL-oracled. The engine
+    path is unchanged — distributed per-(partition, bucket) histogram
+    reduction + grouped-map Arrow KS (operators/drift.py:255) — but
+    the partition key is supplied via ``partition_col`` as the
+    SQL-portable ``doc_id % 8`` instead of the default
+    pmod(xxhash64(doc_id), n) that DuckDB cannot replay; the oracle
+    recomputes D = max|CDF_a − CDF_b| per (constraint, partition)
+    with windowed cumsums (the drift_ks_nchars trick). Exact float
+    equality holds: both sides divide exact integer cumsums by exact
+    integer totals in IEEE doubles. The default content-addressed key
+    stays pinned by tests/test_drift.py (per-bucket parity vs the
+    global drift_check)."""
     from .operators.drift import drift_check_by_partition
 
     flat = t(spark, sf_dir, "documents")
@@ -2345,12 +2461,13 @@ def drift_ks_by_partition(spark, sf_dir):
                 F.lit(0).cast("int").alias("offset"),
             )
         ).alias("spans"),
+        (F.col("doc_id") % 8).cast("int").alias("pid"),
         (F.col("doc_id") % 3 == 0).alias("is_base"),
     )
     return drift_check_by_partition(
         docs.where("is_base").drop("is_base"),
         docs.where("NOT is_base").drop("is_base"),
-        n_buckets=8,
+        partition_col="pid",
     ).orderBy("constraint_id", "partition_id")
 
 
@@ -3103,66 +3220,71 @@ def p12_unpivot(spark, sf_dir):
 # commit regardless of this order.
 
 DRIVER_WINDOW: list[str] = [
-    # round-4 rotation (see WINDOW_COVERAGE.md). Priority order:
-    # (1) the one query with no external row in any round;
+    # round-5 rotation (see WINDOW_COVERAGE.md). Priority order:
+    # (1) the seven round-4 post-window queries — registered after the
+    #     r4 window filled, never externally checked (r4 VERDICT #2);
+    "o5_offset_pagination",
+    "j9_transition_counts",
+    "a19_daily_active_users",
+    "u6_union_missing_cols",
+    "p11_stratified_sample",
+    "a20_gapfill_daily",
+    "p12_unpivot",
+    # (2) oracle upgraded this round: rows-only → exact SQL (windowed-
+    #     CDF KS per partition, SQL-portable doc_id%8 partition key);
     "drift_ks_by_partition",
-    # (2) the two r3 red rows, fixed this round (oracle BIGINT cast /
-    #     JSON-serialized examples), plus the upgraded sketch row;
-    "w5_sessionize",
-    "schema_profile_documents",
-    "a2_sketch_mergeable",
-    # (3) the nine queries new in round 4;
-    "j8_range_join",
-    "w7_rolling_window",
-    "p9_pivot",
-    "a17_grouping_sets",
-    "a18_corr_sufficient_stats",
-    "u5_set_ops",
-    "streaming_windowed_counts",
-    "p10_posexplode",
-    "dedup_lsh_cc_keepfirst",
-    # (4) queries whose semantics/oracles changed this round (null-text
-    #     keep_first, explicit whitespace class) — re-verify;
-    "dedup_keep_first",
-    "dedup_exact_groups",
-    "text_bpe_token_count",
-    "text_quality_score",
-    # (5) the 33 queries whose last external row is r2, rotated back in
-    #     (every r3-green query parks after the window; r3 rows stay
-    #     valid).
-    "s5_id_lookup",
-    "s8_union_limit",
-    "p5_range_predicate",
-    "a2_approx_distinct",
-    "a3_value_histogram",
-    "a4_topk_examples",
-    "a5_minmax_bounds",
-    "a7_variance",
-    "a11_mode",
-    "a12_bucket_histogram",
-    "u1_union_tagged",
-    "u2_dedup_distinct",
-    "f8_date_functions",
-    "f11_haversine",
-    "f14_bbox_classify",
-    "f22_null_sentinels",
-    "text_token_count",
-    "text_fingerprint",
+    # (3) output/semantics changed this round — re-verify (quantified
+    #     recall/precision columns on the two rows-only queries; exact
+    #     collapse + hot-bucket cap composed into the dedup pipeline);
     "dedup_minhash_pairs",
-    "dedup_simhash_pairs",
     "ann_srp_topk",
-    "s3_deterministic_sample",
-    "s7_json_extraction",
-    "j1_lookup_collect",
-    "j6_additive_merge",
-    "o1_global_topn",
-    "u3_array_except_agg",
-    "f17_format_and_parse",
-    "f19_to_json",
-    "f20_sha256",
-    "a14_multi_accumulator",
-    "a15_cube",
-    "w2_priority_rank",
+    "dedup_lsh_cc_keepfirst",
+    # (4) the 28 queries whose last external row is r3 (or r3 plus one
+    #     earlier round), rotated back in;
+    "dsl_validation_verdicts",
+    "s3_tablesample",
+    "p1_normalizing_projection",
+    "p2_multiformat_coordinates",
+    "ann_ivf_topk",
+    "ann_ivf_build_probe",
+    "j5_multifield_merge",
+    "drift_ks_nchars",
+    "s4_filtered_sample",
+    "p3_path_extraction",
+    "p6_exclusion_filter",
+    "p8_valid_coordinates",
+    "f21_hash_ids",
+    "ann_recall_metrics",
+    "dedup_lsh_recall",
+    "drift_tv_lang",
+    "multimodal_pipeline",
+    "a16_quantiles",
+    "streaming_validation",
+    "j2_realignment_join",
+    "drift_psi_source",
+    "dedup_cluster_assign",
+    "j7_asof_join",
+    "schema_infer_documents",
+    "schema_json_interleaved",
+    "streaming_uniqueness",
+    "f13_decimal_precision",
+    "f18_geo_loc_parse",
+    # (5) 11 of the 15 triple-green (r1+r2+r3) queries — the stalest
+    #     remaining tier; the other four (w1_best_per_group,
+    #     f_scalar_gauntlet, text_lang_id, ann_bruteforce_topk) park
+    #     after the window along with every r4-green query, whose r4
+    #     rows remain the valid external signal.
+    "s1_scan_filter_project",
+    "s2_existence_filter",
+    "s6_count_scan",
+    "p4_coalesce_first_nonnull",
+    "a1_null_rate_coverage",
+    "a2_distinct_counts",
+    "a9_grouped_coverage",
+    "a10_region_rollup",
+    "a13_uniqueness_violations",
+    "j3_referential_antijoin",
+    "j4_tolerance_join",
     # window is now exactly 50
 ]
 

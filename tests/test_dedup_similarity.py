@@ -441,7 +441,11 @@ def test_dedup_pipeline_kept_corpus_and_zero_leak(spark):
     min-id keeper, singletons and NULL-text docs pass through; after
     free_local_checkpoint(result.clusters) the call leaves ZERO
     persisted RDDs behind (the cross-call leak class from the r4
-    review)."""
+    review).
+
+    r5 contract change: identical docs are collapsed BEFORE banding
+    (exact_collapse), so ``pairs`` no longer lists identical-doc
+    pairs — the exact group surfaces through ``clusters`` instead."""
     from biosample_enricher_spark.operators.dedup import (
         dedup_pipeline,
         free_local_checkpoint,
@@ -474,10 +478,268 @@ def test_dedup_pipeline_kept_corpus_and_zero_leak(spark):
     free_local_checkpoint(res.clusters)
 
     assert kept_ids == [1, 3, 9]
-    assert n_pairs == 3  # (1,2), (1,7), (2,7)
+    # the three clones collapse to rep 1 before banding: zero pairwise
+    # work (r4 VERDICT's O(n²) hazard), yet the cluster still forms
+    assert n_pairs == 0
     assert n_clusters == 1
     new = {
         int(k)
         for k in spark.sparkContext._jsc.getPersistentRDDs().keySet()
     } - before
     assert not new, f"pipeline leaked persisted RDDs {new}"
+
+
+# --- r5: O(n²) guards — exact collapse + hot-bucket cap -----------------------
+
+
+def test_lsh_bucket_cap_bounds_identical_cluster(spark):
+    """An identical-doc cluster shares the full MinHash signature, so
+    every member lands in the same bucket in EVERY band: without a
+    guard the bucket self-join emits C(n,2) candidate pairs (the r4
+    VERDICT scale-killer). bucket_cap drops the hot bucket before the
+    join; exact_collapse (the production first stage) removes the
+    cluster entirely."""
+    from biosample_enricher_spark.operators.dedup import lsh_candidate_pairs
+
+    n = 500
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate sentence repeated on every mirror page").alias(
+            "text"
+        ),
+    )
+    uncapped = lsh_candidate_pairs(
+        docs, "doc_id", "text", bucket_cap=None
+    ).count()
+    assert uncapped == n * (n - 1) // 2  # the quadratic blowup, measured
+    capped = lsh_candidate_pairs(docs, "doc_id", "text", bucket_cap=100).count()
+    assert capped == 0  # every bucket is the full cluster → dropped
+
+
+def test_srp_bucket_cap_bounds_identical_vectors(spark):
+    """Same guard on the embedding side: n identical vectors agree on
+    every SRP band; the cap bounds the bucket self-join."""
+    from biosample_enricher_spark.operators.similarity import (
+        pairwise_near_neighbors,
+    )
+
+    n = 300
+    vec = [0.3, -1.2, 0.8, 0.05, -0.4, 1.1, -0.9, 0.2]
+    df = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(float(x)) for x in vec]).cast("array<float>").alias(
+            "embedding"
+        ),
+    )
+    uncapped = pairwise_near_neighbors(
+        df, threshold=0.99, bucket_cap=None
+    ).count()
+    assert uncapped == n * (n - 1) // 2
+    capped = pairwise_near_neighbors(df, threshold=0.99, bucket_cap=50).count()
+    assert capped == 0
+
+
+def test_exact_collapse_reps_and_members(spark):
+    from biosample_enricher_spark.operators.dedup import exact_collapse
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (4, "ALPHA  beta   gamma"),  # canonical dup of 1
+            (2, "something else entirely"),
+            (9, None),  # media-only: excluded from reps/members
+        ],
+        "doc_id long, text string",
+    )
+    reps, members = exact_collapse(df, "doc_id", "text")
+    assert sorted(r.doc_id for r in reps.collect()) == [1, 2]
+    got = {r.doc_id: (r.rep_id, r.group_n) for r in members.collect()}
+    assert got == {1: (1, 2), 4: (1, 2), 2: (2, 1)}
+
+
+def test_dedup_pipeline_planted_giant_identical_cluster(spark):
+    """r4 VERDICT top item, done-criterion test: plant a 50k-doc
+    byte-identical cluster (the boilerplate/mirror shape of a real web
+    corpus) next to distinct docs and one near-dup pair. The pipeline
+    must (a) complete, (b) emit O(reps × bands) candidate pairs — NOT
+    O(50k²) ≈ 1.25e9 — (c) keep exactly one member of the giant
+    cluster, and (d) still find the planted near-dup pair."""
+    from biosample_enricher_spark.operators.dedup import dedup_pipeline, free_local_checkpoint
+
+    giant_n = 50_000
+    giant = spark.range(giant_n).select(
+        (F.col("id") + 1_000_000).alias("doc_id"),
+        F.lit(
+            "identical boilerplate navigation header repeated across every "
+            "mirrored page of the site"
+        ).alias("text"),
+    )
+    # every token is id-dependent → zero shared shingles between any
+    # two "distinct" docs (a common-phrase template would accidentally
+    # make them near-dups of each other at threshold 0.5)
+    distinct = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.format_string(
+            "alpha%d beta%d gamma%d delta%d epsilon%d zeta%d eta%d theta%d",
+            F.col("id") * 3, F.col("id") * 5, F.col("id") * 7,
+            F.col("id") * 11, F.col("id") * 13, F.col("id") * 17,
+            F.col("id") * 19, F.col("id") * 23,
+        ).alias("text"),
+    )
+    near_a = "the quick brown fox jumps over the lazy dog near the river bank"
+    near = spark.createDataFrame(
+        [(500_001, near_a), (500_002, near_a + " today")],
+        "doc_id long, text string",
+    )
+    corpus = giant.unionByName(distinct).unionByName(near)
+
+    res = dedup_pipeline(corpus, "doc_id", "text", threshold=0.5)
+    n_pairs = res.pairs.count()
+    clusters = {r.doc_id: r.cluster_id for r in res.clusters.collect()}
+    kept_ids = {r.doc_id for r in res.kept.collect()}
+    res.pairs.unpersist(blocking=True)
+    free_local_checkpoint(res.clusters)
+
+    n_reps = 200 + 1 + 2  # distinct + collapsed giant + near pair
+    bands = 16
+    assert n_pairs <= n_reps * bands, (
+        f"candidate blowup: {n_pairs} pairs from {n_reps} reps"
+    )
+    # planted near-dup pair found and clustered under its min id
+    assert clusters.get(500_001) == 500_001
+    assert clusters.get(500_002) == 500_001
+    # giant cluster: all 50k members clustered under the min id …
+    giant_members = {d for d in clusters if 1_000_000 <= d < 1_000_000 + giant_n}
+    assert len(giant_members) == giant_n
+    assert {clusters[d] for d in giant_members} == {1_000_000}
+    # … and exactly one (the min id) survives
+    assert kept_ids & giant_members == {1_000_000}
+    # distinct docs all kept; near-dup keeps min id only
+    assert {d for d in kept_ids if d < 1000} == set(range(200))
+    assert 500_001 in kept_ids and 500_002 not in kept_ids
+
+
+def test_dedup_pipeline_merges_exact_group_with_near_dup(spark):
+    """Collapse must not break connectivity: an exact-dup group whose
+    representative near-dup-pairs with a third doc pulls the WHOLE
+    group into that component (identical text ⇒ identical Jaccard)."""
+    from biosample_enricher_spark.operators.dedup import dedup_pipeline, free_local_checkpoint
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),            # exact dup of 1
+            (3, base),            # exact dup of 1
+            (4, base + " today"),  # near dup of the group
+            (5, "a completely different sentence with many other words here"),
+        ],
+        "doc_id long, text string",
+    )
+    res = dedup_pipeline(df, "doc_id", "text", threshold=0.5)
+    pairs = {(r.id_a, r.id_b) for r in res.pairs.collect()}
+    clusters = {r.doc_id: r.cluster_id for r in res.clusters.collect()}
+    kept = sorted(r.doc_id for r in res.kept.collect())
+    res.pairs.unpersist(blocking=True)
+    free_local_checkpoint(res.clusters)
+
+    assert pairs == {(1, 4)}  # rep-level only: no (1,2)/(2,3)/(2,4)…
+    assert clusters == {1: 1, 2: 1, 3: 1, 4: 1}
+    assert kept == [1, 5]
+
+
+def test_connected_components_giant_chain_and_star(spark):
+    """r4 VERDICT #5: giant-component stress. A 10^5-node chain is the
+    worst diameter case (pointer jumping must double label reach each
+    round → O(log2 n) rounds, NOT O(n)); a 10^5-node star is the
+    worst skew case (one hub key carries the whole component). Both
+    must converge inside the round cap with correct labels; round
+    counts and per-round shuffled edge rows are recorded via the
+    stats out-param."""
+    from biosample_enricher_spark.operators.dedup import (
+        connected_components,
+        free_local_checkpoint,
+    )
+
+    n = 100_000
+    chain = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    stats: dict = {}
+    got = connected_components(chain, max_iterations=25, stats=stats)
+    agg = got.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("cluster_id").alias("k"),
+        F.max("cluster_id").alias("mx"),
+    ).first()
+    free_local_checkpoint(got)
+    assert (agg.n, agg.k, agg.mx) == (n, 1, 0)
+    assert stats["n_edge_rows"] == 2 * (n - 1)
+    # doubling reach: ~log2(diameter) rounds plus slack, far below O(n)
+    assert stats["rounds"] <= 2 * 17 + 2, stats
+
+    star = spark.range(1, n).select(
+        F.lit(0).cast("long").alias("id_a"), F.col("id").alias("id_b")
+    )
+    stats2: dict = {}
+    got2 = connected_components(star, max_iterations=25, stats=stats2)
+    agg2 = got2.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("cluster_id").alias("k"),
+        F.max("cluster_id").alias("mx"),
+    ).first()
+    free_local_checkpoint(got2)
+    assert (agg2.n, agg2.k, agg2.mx) == (n, 1, 0)
+    assert stats2["rounds"] <= 3, stats2  # hub propagates min in one hop
+
+
+def test_free_local_checkpoint_skips_unpersisted_and_filters_ids(spark):
+    """ADVICE r4: the leaf walk must (1) skip LogicalRDD leaves whose
+    storage level is NONE (createDataFrame inputs — freeing them is a
+    no-op today but the guard makes the contract explicit), and
+    (2) honor an explicit rdd_ids allowlist so a plan that SHARES a
+    checkpointed leaf with a still-live frame can free only its own."""
+    from biosample_enricher_spark.operators.dedup import free_local_checkpoint
+
+    def persisted_ids():
+        return {
+            int(k) for k in spark.sparkContext._jsc.getPersistentRDDs().keySet()
+        }
+
+    before = persisted_ids()
+    a = spark.range(100).select(F.col("id").alias("x")).localCheckpoint(eager=True)
+    b = spark.range(100).select(F.col("id").alias("y")).localCheckpoint(eager=True)
+    new = persisted_ids() - before
+    assert len(new) == 2
+    # derived plan touching BOTH checkpoints plus a storage-NONE leaf
+    plain = spark.createDataFrame([(1,)], "x long")
+    derived = a.unionByName(plain).crossJoin(b)
+    # free only one checkpoint's leaf via the allowlist
+    one = sorted(new)[0]
+    free_local_checkpoint(derived, rdd_ids={one})
+    after = persisted_ids()
+    assert one not in after
+    assert (new - {one}) <= after  # the other checkpoint survives
+    free_local_checkpoint(derived)  # default: frees remaining persisted leaf
+    assert not (new & persisted_ids())
+
+
+def test_quantified_rowsonly_queries_pin_metric_floors(spark):
+    """r4 VERDICT #6: the rows-only driver queries carry their own
+    measured-quality columns; pin the sf0.01 values with margin
+    (measured: minhash recall 1.0 vs the exhaustive Jaccard tier,
+    SRP recall@10 0.8 vs brute force)."""
+    from biosample_enricher_spark.queries import QUERIES
+
+    mh = QUERIES["dedup_minhash_pairs"](spark, "/root/testdata/sf0.01").collect()
+    assert len(mh) > 0
+    assert all(r.in_exact for r in mh)       # precision 1.0 by verification
+    assert all(r.jaccard >= 0.7 for r in mh)
+    assert mh[0].n_true > 0
+    assert mh[0].recall >= 0.95
+
+    srp = QUERIES["ann_srp_topk"](spark, "/root/testdata/sf0.01").collect()
+    assert len(srp) == 10
+    assert srp[0].recall_at_k >= 0.7
+    # the query vector itself must always survive the prefilter
+    assert any(r.vec_id == 0 and r.in_exact_topk for r in srp)

@@ -76,28 +76,34 @@ def test_rows_only_queries_run(spark, name):
 
 
 def test_driver_window_ordering():
-    """Round-4 rotation: the never-checked query leads, the two
-    fixed r3 red rows and all round-4 additions sit inside the
-    50-entry driver window, and r2-era queries rotate back in."""
+    """Round-5 rotation: the seven never-externally-checked r4
+    post-window queries lead, then the oracle-upgraded drift query,
+    the three r5-changed queries, the r3-era cohort, and 11 of the
+    triple-green r1-r3 queries fill the 50-entry driver window."""
     from biosample_enricher_spark.queries import DRIVER_WINDOW, QUERIES
 
     names = list(QUERIES)
     assert names[: len(DRIVER_WINDOW)] == DRIVER_WINDOW
     assert len(DRIVER_WINDOW) <= 50
-    assert names[0] == "drift_ks_by_partition"
-    for q in ("w5_sessionize", "schema_profile_documents",
-              "a2_sketch_mergeable", "j8_range_join",
-              "streaming_windowed_counts", "dedup_lsh_cc_keepfirst",
-              "dedup_keep_first", "w2_priority_rank"):
+    assert names[:7] == [
+        "o5_offset_pagination", "j9_transition_counts",
+        "a19_daily_active_users", "u6_union_missing_cols",
+        "p11_stratified_sample", "a20_gapfill_daily", "p12_unpivot",
+    ]
+    assert names[7] == "drift_ks_by_partition"
+    for q in ("dedup_minhash_pairs", "ann_srp_topk",
+              "dedup_lsh_cc_keepfirst", "dsl_validation_verdicts",
+              "f18_geo_loc_parse", "j4_tolerance_join"):
         assert names.index(q) < 50
 
 
 def test_registry_counts_match_docs():
-    """README and WINDOW_COVERAGE.md state 100 queries / 84 oracled;
-    pin the numbers here so the docs cannot silently drift from the
+    """README and WINDOW_COVERAGE.md state 100 queries / 85 oracled
+    (drift_ks_by_partition gained its exact SQL oracle in r5); pin
+    the numbers here so the docs cannot silently drift from the
     registry again (r3 verdict item #7)."""
     assert len(QUERIES) == 100
-    assert len(ORACLES) == 84
+    assert len(ORACLES) == 85
 
 
 def test_manual_sessionize_matches_builtin_session_window(spark):

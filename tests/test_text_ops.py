@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from biosample_enricher_spark.operators.text import (
     EN_MARKERS,
+    WS_RUN,
     fingerprint,
     lang_id,
     quality_score,
@@ -18,6 +19,15 @@ from biosample_enricher_spark.operators.text import (
 )
 
 SF_DIR = "/root/testdata/sf0.001"
+
+# The Python reference model MUST use the same explicit ASCII
+# whitespace class as the production ops (ADVICE r4): Python's \s and
+# str.strip()/str.lower() are Unicode-aware, so modeling with them
+# only passes while the corpus happens to contain no NBSP/ideographic
+# space — a latent false failure (or masked divergence) otherwise.
+# WS_RUN is a regex-source fragment ("[ \\t\\n\\x0B\\f\\r]+") whose
+# escapes Python's re parses identically to Java/RE2 — reuse it
+# verbatim so there is one source of truth.
 
 
 @pytest.fixture(scope="module")
@@ -31,8 +41,11 @@ def test_token_count_matches_python(spark, docs):
         for r in docs.select("doc_id", token_count(F.col("text")).alias("n")).collect()
     }
     for row in docs.collect():
-        t = (row.text or "").strip()
-        expected = 0 if not t else len(re.split(r"\s+", t))
+        # F.trim strips ASCII space ONLY — model with strip(' '), not
+        # str.strip(); a leading tab would (correctly) yield an empty
+        # first token on both sides
+        t = (row.text or "").strip(" ")
+        expected = 0 if not t else len(re.split(WS_RUN, t))
         assert got[row.doc_id] == expected, row.doc_id
 
 
@@ -42,7 +55,9 @@ def test_fingerprint_matches_python_and_dedups(spark, docs):
         for r in docs.select("doc_id", fingerprint(F.col("text")).alias("fp")).collect()
     }
     for row in docs.collect():
-        canon = re.sub(r"\s+", " ", (row.text or "").lower()).strip()
+        # space-only trim after WS-run collapse (every WS char is now a
+        # plain space), matching F.trim's ASCII-space semantics
+        canon = re.sub(WS_RUN, " ", (row.text or "").lower()).strip(" ")
         assert got[row.doc_id] == hashlib.md5(canon.encode()).hexdigest()
 
 
