@@ -144,6 +144,10 @@ def main() -> None:
         "text_lang_id",
         "ann_bruteforce_topk",
     ]
+    # min-of-3 per query; a >3x max/min spread marks host steal during
+    # that query's repeats (r4 VERDICT #8: the sub-second queries are
+    # pure variance under contention — flag it, don't let it hide)
+    query_steal: dict[str, list[float]] = {}
     for name in bench_queries:
         runs = []
         for _ in range(3):
@@ -151,6 +155,8 @@ def main() -> None:
             QUERIES[name](spark, SF_DIR).count()
             runs.append(time.perf_counter() - t0)
         timings[name] = min(runs)
+        if max(runs) > 3 * min(runs):
+            query_steal[name] = [round(r, 3) for r in runs]
 
     # --- extras (NOT in the headline total: new in round 4) ---
     # composed LSH → connected components → keep-first pipeline, run
@@ -195,6 +201,7 @@ def main() -> None:
                 dedup_rows[0][0],
             )
         },
+        "query_steal_flags": query_steal,
         "cpus": int(CPUS),
         "host_load_at_invoke": load_at_invoke,
         "host_load_wait_sec": load_wait_sec,

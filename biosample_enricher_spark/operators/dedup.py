@@ -523,14 +523,31 @@ def dedup_pipeline(
         # repeated failed invocations accumulate pair frames
         pairs.unpersist()
         raise
-    # expand representative components to full group membership …
+    clusters, kept = expand_rep_clusters(df, id_col, members, rep_clusters)
+    return DedupPipelineResult(kept=kept, pairs=pairs, clusters=clusters)
+
+
+def expand_rep_clusters(
+    df: DataFrame,
+    id_col: str,
+    members: DataFrame,
+    rep_clusters: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """Expand representative-level CC output back to full group
+    membership (the post-collapse half shared by the text and
+    embedding dedup pipelines). Returns ``(clusters, kept)``:
+
+    - every member of a group whose representative is in a component
+      takes that component's cluster_id (still the global min id —
+      each representative is already its group's min);
+    - exact-dup groups (width > 1) untouched by any near-dup edge
+      form their own cluster keyed by their rep. Width-1 groups
+      outside CC are singletons — not clustered;
+    - ``kept`` = ``df`` minus every clustered non-keeper row.
+    """
     in_cc = members.join(
         rep_clusters.withColumnRenamed("doc_id", "rep_id"), "rep_id"
     ).select(F.col(id_col).alias("doc_id"), "cluster_id")
-    # … and exact-dup groups (width > 1) untouched by any near-dup
-    # edge: they are a cluster by themselves, keyed by their rep
-    # (= min id). Width-1 groups outside CC are singletons — not
-    # clustered, exactly as before the collapse.
     solo = (
         members.where(F.col("group_n") > 1)
         .join(
@@ -545,7 +562,7 @@ def dedup_pipeline(
         F.col("doc_id").alias(id_col)
     )
     kept = df.join(drops, id_col, "left_anti")
-    return DedupPipelineResult(kept=kept, pairs=pairs, clusters=clusters)
+    return clusters, kept
 
 
 def free_local_checkpoint(

@@ -230,6 +230,100 @@ def pairwise_near_neighbors(
     )
 
 
+def exact_vector_collapse(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> tuple[DataFrame, DataFrame]:
+    """Collapse byte-identical embedding vectors to one representative
+    (min id) before any pairwise candidate generation — the embedding
+    twin of ``dedup.exact_collapse``. Identical vectors share the full
+    SRP sketch, so an identical cluster lands in one bucket in every
+    band and the bucket self-join is O(n²) in the cluster size; worse,
+    the ``bucket_cap`` guard alone would then DROP those cos-1.0 pairs
+    (every one of the cluster's buckets is over-wide). Collapse first:
+    the cluster contributes one representative, and membership is
+    recovered by the fingerprint join.
+
+    The fingerprint is sha2-256 of the JSON rendering of the vector
+    (deterministic per value; 256 bits so collisions are impossible in
+    practice — a 64-bit hash at 10⁹ vectors would see birthday
+    collisions, silently merging distinct vectors). NULL vectors are
+    excluded (nothing to collapse; they never sketch).
+
+    Returns ``(reps, members)`` with ``members = (<id_col>, rep_id,
+    group_n)``, shapes matching ``dedup.exact_collapse``.
+    """
+    fp = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col),
+        F.sha2(
+            F.to_json(F.struct(F.col(vec_col).alias("v"))), 256
+        ).alias("_fp"),
+    )
+    groups = fp.groupBy("_fp").agg(
+        F.min(id_col).alias("rep_id"), F.count(F.lit(1)).alias("group_n")
+    )
+    members = fp.join(groups, "_fp").select(F.col(id_col), "rep_id", "group_n")
+    reps = df.join(
+        members.where(F.col(id_col) == F.col("rep_id")).select(id_col),
+        id_col,
+        "left_semi",
+    )
+    return reps, members
+
+
+def embedding_dedup_pipeline(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    bucket_cap: int | None = 1000,
+):
+    """Embedding-cosine near-duplicate dedup composed end-to-end:
+    exact-vector collapse → banded-SRP candidate pairs among
+    representatives → exact-cosine verification → connected
+    components → keep min-id per cluster. The embedding twin of
+    ``dedup.dedup_pipeline`` with the same two O(n²) guards
+    (collapse + ``bucket_cap``) and the same expansion semantics
+    (``dedup.expand_rep_clusters``): identical vectors have identical
+    cosine to every third vector, so collapsing cannot change
+    connectivity, and exact-dup vector groups untouched by any
+    near-dup edge still cluster under their representative.
+
+    Returns a ``dedup.DedupPipelineResult`` (kept / pairs / clusters)
+    with the same lifecycle contract: ``pairs`` comes back persisted,
+    ``clusters`` holds one localCheckpoint — call
+    ``pairs.unpersist()`` + ``free_local_checkpoint(clusters)`` once
+    consumed.
+    """
+    from .dedup import (
+        DedupPipelineResult,
+        connected_components,
+        expand_rep_clusters,
+    )
+
+    reps, members = exact_vector_collapse(df, id_col, vec_col)
+    pairs = pairwise_near_neighbors(
+        reps,
+        threshold=threshold,
+        n_planes=n_planes,
+        n_bands=n_bands,
+        id_col=id_col,
+        vec_col=vec_col,
+        seed=seed,
+        bucket_cap=bucket_cap,
+    ).select("id_a", "id_b")
+    pairs.persist()
+    try:
+        rep_clusters = connected_components(pairs)
+    except Exception:
+        pairs.unpersist()
+        raise
+    clusters, kept = expand_rep_clusters(df, id_col, members, rep_clusters)
+    return DedupPipelineResult(kept=kept, pairs=pairs, clusters=clusters)
+
+
 # --- IVF (inverted-file) index ------------------------------------------------
 
 

@@ -2997,6 +2997,56 @@ def dedup_lsh_cc_keepfirst(spark, sf_dir):
     )
 
 
+@q("dedup_embedding_cc")  # rows-only: SRP banding + CC are engine-specific
+def dedup_embedding_cc(spark, sf_dir):
+    """The embedding-cosine dedup story composed end-to-end (r5):
+    ``embedding_dedup_pipeline`` — exact-vector collapse → banded-SRP
+    candidates among representatives → exact-cosine verify →
+    connected components → keep min-id per cluster — over the
+    embeddings table plus planted byte-identical clones (every 5th
+    vector re-appended: MUST be handled by the collapse, zero
+    pairwise work) and planted near-duplicates (every 25th vector
+    with +0.01 on dimension 0 — cosine ≈ 0.99995, MUST pair with its
+    source through banding). Deterministic end-to-end (hash-derived
+    hyperplanes, min-label CC); summary-row invariants mirror
+    ``dedup_lsh_cc_keepfirst``: n_kept = n_corpus − n_dropped,
+    n_dropped = n_clustered − n_clusters. Counts materialized eagerly
+    so the CC checkpoint is freed before returning."""
+    from .operators.dedup import free_local_checkpoint
+    from .operators.similarity import embedding_dedup_pipeline
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    clones = emb.where(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    near = emb.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x
+            + F.when(i == 0, F.lit(0.01)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(clones).unionByName(near)
+    n_corpus = corpus.count()
+    res = embedding_dedup_pipeline(corpus, threshold=0.99, bucket_cap=1000)
+    n_pairs = res.pairs.count()
+    crow = res.clusters.agg(
+        F.count(F.lit(1)).alias("n_clustered"),
+        F.count_distinct("cluster_id").alias("n_clusters"),
+    ).first()
+    free_local_checkpoint(res.clusters)
+    res.pairs.unpersist()
+    n_dropped = crow.n_clustered - crow.n_clusters
+    return spark.createDataFrame(
+        [(n_corpus, n_pairs, crow.n_clusters, n_dropped, n_corpus - n_dropped)],
+        "n_corpus long, n_verified_pairs long, n_clusters long, "
+        "n_dropped long, n_kept long",
+    )
+
+
 @q(
     "o5_offset_pagination",
     """

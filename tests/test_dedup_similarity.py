@@ -743,3 +743,65 @@ def test_quantified_rowsonly_queries_pin_metric_floors(spark):
     assert srp[0].recall_at_k >= 0.7
     # the query vector itself must always survive the prefilter
     assert any(r.vec_id == 0 and r.in_exact_topk for r in srp)
+
+
+def test_exact_vector_collapse_and_embedding_pipeline(spark):
+    """Embedding twin of the text-side O(n²) guards: identical vectors
+    collapse to one representative BEFORE SRP banding (without the
+    collapse the bucket_cap guard would DROP an identical cluster's
+    cos-1.0 pairs — every bucket it occupies is over-wide), membership
+    comes back through the fingerprint join, and near-dup connectivity
+    survives the collapse."""
+    from biosample_enricher_spark.operators.dedup import free_local_checkpoint
+    from biosample_enricher_spark.operators.similarity import (
+        embedding_dedup_pipeline,
+        exact_vector_collapse,
+    )
+
+    dim = 8
+    base = [0.3, -1.2, 0.8, 0.05, -0.4, 1.1, -0.9, 0.2]
+    # 300 byte-identical vectors (ids 1000..1299) + 40 distinct ones +
+    # one near-dup partner of the identical cluster (tiny perturbation
+    # keeps cosine > 0.9999) + one orthogonal-ish singleton
+    giant = spark.range(1000, 1300).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(float(x)) for x in base]).cast("array<float>").alias(
+            "embedding"
+        ),
+    )
+    rng = np.random.default_rng(9)
+    distinct_rows = []
+    for i in range(40):
+        v = rng.standard_normal(dim)
+        distinct_rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+    near = np.array(base) + 1e-4 * rng.standard_normal(dim)
+    distinct_rows.append((5000, [float(x) for x in near]))
+    others = spark.createDataFrame(
+        distinct_rows, "vec_id long, embedding array<float>"
+    )
+    df = giant.unionByName(others)
+
+    reps, members = exact_vector_collapse(df)
+    assert reps.count() == 42  # 1 rep for the giant + 40 distinct + near
+    m = {r.vec_id: (r.rep_id, r.group_n) for r in members.collect()}
+    assert m[1000] == (1000, 300) and m[1299] == (1000, 300)
+    assert m[5000] == (5000, 1)
+
+    res = embedding_dedup_pipeline(df, threshold=0.999, bucket_cap=50)
+    n_pairs = res.pairs.count()
+    clusters = {r.doc_id: r.cluster_id for r in res.clusters.collect()}
+    kept = {r.vec_id for r in res.kept.collect()}
+    res.pairs.unpersist(blocking=True)
+    free_local_checkpoint(res.clusters)
+
+    # rep-level pairs only: the identical cluster contributes zero
+    # pairwise work; the planted near-dup pairs with the rep
+    assert n_pairs == 1
+    assert clusters.get(5000) == 1000
+    # all 300 identical members clustered under the min id, one kept
+    giant_members = {d for d in clusters if 1000 <= d < 1300}
+    assert len(giant_members) == 300
+    assert {clusters[d] for d in giant_members} == {1000}
+    assert kept & set(range(1000, 1300)) == {1000}
+    assert 5000 not in kept  # near-dup of the kept rep → dropped
+    assert set(range(40)) <= kept  # distinct vectors untouched

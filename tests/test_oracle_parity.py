@@ -98,11 +98,11 @@ def test_driver_window_ordering():
 
 
 def test_registry_counts_match_docs():
-    """README and WINDOW_COVERAGE.md state 100 queries / 85 oracled
+    """README and WINDOW_COVERAGE.md state 101 queries / 85 oracled
     (drift_ks_by_partition gained its exact SQL oracle in r5); pin
     the numbers here so the docs cannot silently drift from the
     registry again (r3 verdict item #7)."""
-    assert len(QUERIES) == 100
+    assert len(QUERIES) == 101
     assert len(ORACLES) == 85
 
 
