@@ -805,3 +805,31 @@ def test_exact_vector_collapse_and_embedding_pipeline(spark):
     assert kept & set(range(1000, 1300)) == {1000}
     assert 5000 not in kept  # near-dup of the kept rep → dropped
     assert set(range(40)) <= kept  # distinct vectors untouched
+
+
+def test_quantified_rowsonly_family_round5_floors(spark):
+    """r5 extension of the quantified-rows-only pattern to the rest of
+    the family; floors pin the sf0.01 measurements with margin
+    (a2 rel_err 0.0067; IVF single-query recall 0.3 at nprobe 4/16 on
+    near-isotropic embeddings — the documented IVF worst case, avg
+    0.51 over 10 queries in ann_recall_metrics; simhash word-jaccard
+    min 0.862)."""
+    from biosample_enricher_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    a2 = QUERIES["a2_approx_distinct"](spark, sf).first()
+    assert a2.n_users_exact > 0
+    assert a2.rel_err <= 0.02
+
+    ivf = QUERIES["ann_ivf_topk"](spark, sf).collect()
+    assert len(ivf) == 10
+    assert ivf[0].recall_at_k >= 0.2
+    probe = QUERIES["ann_ivf_build_probe"](spark, sf).collect()
+    # row-SET equality: physical row order after the decoration join +
+    # whole-frame window is plan-dependent, not contractual
+    assert sorted(tuple(r) for r in ivf) == sorted(tuple(r) for r in probe)
+
+    sh = QUERIES["dedup_simhash_pairs"](spark, sf).collect()
+    assert len(sh) > 0
+    assert all(r.hamming <= 3 for r in sh)
+    assert min(r.word_jaccard for r in sh) >= 0.8
