@@ -293,6 +293,11 @@ def pooled_min_efficiency(current: dict, n: int, m: int, factor: float) -> dict:
         try:
             with open(path) as f:
                 doc = json.load(f)
+            # pool ONLY executions of the same protocol: a smoke run at
+            # a different corpus size has arbitrary fixed-cost ratios
+            # and must not feed (or contaminate) the 8M-doc pass gate
+            if doc.get("n_docs") != N_DOCS:
+                continue
             levels = doc.get("levels", {})
             for lvl in (n, m):
                 ts = levels.get(str(lvl), {}).get("times_sec")

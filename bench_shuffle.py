@@ -111,24 +111,34 @@ def run(n_docs: int, tag: str) -> dict:
             for sid in j.get("stageIds", [])
         }
     )
-    stages = []
+    # one entry per stageId: keep only the LATEST complete attempt —
+    # a retried stage (task loss, fetch failure) reports one StageData
+    # per attempt under the same stageId, and summing attempts would
+    # inflate the byte totals and corrupt the linear-growth verdict.
+    # Retries are disclosed, not silently merged.
+    by_stage: dict[int, dict] = {}
+    n_extra_attempts = 0
     for st in _rest(f"applications/{app_id}/stages?status=complete"):
         if st["stageId"] not in stage_ids:
             continue
-        stages.append(
-            {
-                "stage_id": st["stageId"],
-                "name": st["name"].split("\n")[0][:80],
-                "num_tasks": st["numTasks"],
-                "input_bytes": st.get("inputBytes", 0),
-                "output_bytes": st.get("outputBytes", 0),
-                "shuffle_read_bytes": st.get("shuffleReadBytes", 0),
-                "shuffle_write_bytes": st.get("shuffleWriteBytes", 0),
-                "shuffle_write_records": st.get("shuffleWriteRecords", 0),
-            }
-        )
+        prev = by_stage.get(st["stageId"])
+        if prev is not None:
+            n_extra_attempts += 1
+            if prev["attempt_id"] >= st.get("attemptId", 0):
+                continue
+        by_stage[st["stageId"]] = {
+            "stage_id": st["stageId"],
+            "attempt_id": st.get("attemptId", 0),
+            "name": st["name"].split("\n")[0][:80],
+            "num_tasks": st["numTasks"],
+            "input_bytes": st.get("inputBytes", 0),
+            "output_bytes": st.get("outputBytes", 0),
+            "shuffle_read_bytes": st.get("shuffleReadBytes", 0),
+            "shuffle_write_bytes": st.get("shuffleWriteBytes", 0),
+            "shuffle_write_records": st.get("shuffleWriteRecords", 0),
+        }
     spark.stop()
-    stages.sort(key=lambda s: s["stage_id"])
+    stages = sorted(by_stage.values(), key=lambda s: s["stage_id"])
     return {
         "tag": tag,
         "n_docs": n_docs,
@@ -146,6 +156,7 @@ def run(n_docs: int, tag: str) -> dict:
         "total_shuffle_write_records": sum(
             s["shuffle_write_records"] for s in stages
         ),
+        "n_retried_stage_attempts": n_extra_attempts,
         "stages": stages,
     }
 

@@ -586,10 +586,15 @@ def free_local_checkpoint(
     freed by accident: (1) leaves whose RDD storage level is NONE
     (``createDataFrame`` inputs — nothing cached) are skipped, so
     freeing a frame *derived from* driver-local data is always safe;
-    (2) pass ``rdd_ids`` (from ``df.rdd.id()`` / ``getPersistentRDDs``)
-    to free only those specific leaves when the plan might share a
-    checkpointed leaf with a frame that must stay readable. Without
-    ``rdd_ids`` every *persisted* LogicalRDD leaf is freed.
+    (2) pass ``rdd_ids`` to free only those specific leaves when the
+    plan might share a checkpointed leaf with a frame that must stay
+    readable. Without ``rdd_ids`` every *persisted* LogicalRDD leaf
+    is freed. Build the allowlist from JVM-side ids —
+    ``sparkContext._jsc.getPersistentRDDs().keySet()`` deltas — NOT
+    from ``df.rdd.id()``: PySpark's ``df.rdd`` wraps
+    ``javaToPython()`` in a fresh RDD whose id never equals the
+    LogicalRDD leaf's, so an allowlist built that way silently skips
+    every leaf (best-effort semantics would hide the leak).
     Best-effort: on any reflection failure the blocks simply age out.
     """
     if df is None:

@@ -929,6 +929,9 @@ def _quantify_topk(approx, emb, qvec, k):
                 F.sum(F.col("in_exact_topk").cast("int")).over(w) / F.lit(k), 4
             ),
         )
+        # restore the pre-decoration ordering contract: the left-join +
+        # whole-frame window return plan-dependent row order otherwise
+        .orderBy(F.desc("cos_sim"), "vec_id")
     )
 
 
@@ -3088,10 +3091,10 @@ def dedup_embedding_cc(spark, sf_dir):
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     clones = emb.where(F.col("vec_id") % 5 == 0).select(
-        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+        (F.col("vec_id") + 1_000_000_000).alias("vec_id"), "embedding"
     )
     near = emb.where(F.col("vec_id") % 25 == 0).select(
-        (F.col("vec_id") + 2_000_000).alias("vec_id"),
+        (F.col("vec_id") + 2_000_000_000).alias("vec_id"),
         F.transform(
             "embedding",
             lambda x, i: x
@@ -3353,11 +3356,16 @@ DRIVER_WINDOW: list[str] = [
     #     CDF KS per partition, SQL-portable doc_id%8 partition key);
     "drift_ks_by_partition",
     # (3) output/semantics changed this round — re-verify (quantified
-    #     recall/precision columns on the two rows-only queries; exact
-    #     collapse + hot-bucket cap composed into the dedup pipeline);
+    #     recall/precision/rel-err columns on the rows-only queries;
+    #     exact collapse + hot-bucket cap composed into the dedup
+    #     pipeline);
     "dedup_minhash_pairs",
     "ann_srp_topk",
     "dedup_lsh_cc_keepfirst",
+    "dedup_simhash_pairs",
+    "a2_approx_distinct",
+    # (ann_ivf_topk / ann_ivf_build_probe also changed — they already
+    # sit in the window below via the r3-era cohort)
     # (4) the 28 queries whose last external row is r3 (or r3 plus one
     #     earlier round), rotated back in;
     "dsl_validation_verdicts",
@@ -3388,11 +3396,13 @@ DRIVER_WINDOW: list[str] = [
     "streaming_uniqueness",
     "f13_decimal_precision",
     "f18_geo_loc_parse",
-    # (5) 11 of the 15 triple-green (r1+r2+r3) queries — the stalest
-    #     remaining tier; the other four (w1_best_per_group,
-    #     f_scalar_gauntlet, text_lang_id, ann_bruteforce_topk) park
-    #     after the window along with every r4-green query, whose r4
-    #     rows remain the valid external signal.
+    # (5) 9 of the 15 triple-green (r1+r2+r3) queries — the stalest
+    #     remaining tier; the other six (w1_best_per_group,
+    #     f_scalar_gauntlet, text_lang_id, ann_bruteforce_topk,
+    #     j3_referential_antijoin, j4_tolerance_join) park after the
+    #     window along with every r4-green query, whose prior rows
+    #     remain the valid external signal — displaced so the two
+    #     r5-changed rows-only queries above get re-verified first.
     "s1_scan_filter_project",
     "s2_existence_filter",
     "s6_count_scan",
@@ -3402,8 +3412,6 @@ DRIVER_WINDOW: list[str] = [
     "a9_grouped_coverage",
     "a10_region_rollup",
     "a13_uniqueness_violations",
-    "j3_referential_antijoin",
-    "j4_tolerance_join",
     # window is now exactly 50
 ]
 

@@ -16,19 +16,33 @@ def test_pooled_min_efficiency_pools_disclosed_execs(tmp_path, monkeypatch):
     (bench / "scaling_r4_exec1.json").write_text(
         json.dumps(
             {
+                "n_docs": bs.N_DOCS,
                 "levels": {
                     "2": {"times_sec": [80.0, 90.0]},
                     "8": {"times_sec": [30.0, 31.0]},
-                }
+                },
             }
         )
     )
     # a second exec with the true 8-core min; a corrupt file must be
     # skipped, not crash the gate
     (bench / "scaling_r4_exec2.json").write_text(
-        json.dumps({"levels": {"8": {"times_sec": [20.0]}}})
+        json.dumps({"n_docs": bs.N_DOCS, "levels": {"8": {"times_sec": [20.0]}}})
     )
     (bench / "scaling_r9_execX.json").write_text("{not json")
+    # a smoke run at a different corpus size must NOT feed the gate
+    # (its best time would otherwise fake the pooled min)
+    (bench / "scaling_r9_exec9.json").write_text(
+        json.dumps(
+            {
+                "n_docs": 100,
+                "levels": {
+                    "2": {"times_sec": [0.4]},
+                    "8": {"times_sec": [0.1]},
+                },
+            }
+        )
+    )
     monkeypatch.setattr(bs, "REPO", str(tmp_path))
 
     current = {
