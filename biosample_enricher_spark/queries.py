@@ -3069,6 +3069,134 @@ def dedup_lsh_cc_keepfirst(spark, sf_dir):
     )
 
 
+@q(
+    "o6_keyset_pagination",
+    """
+    WITH cur AS (
+      SELECT n_chars, doc_id FROM documents
+      ORDER BY n_chars DESC, doc_id LIMIT 1 OFFSET 59
+    )
+    SELECT d.doc_id, d.n_chars FROM documents d, cur
+    WHERE d.n_chars < cur.n_chars
+       OR (d.n_chars = cur.n_chars AND d.doc_id > cur.doc_id)
+    ORDER BY d.n_chars DESC, d.doc_id LIMIT 20
+    """,
+)
+def o6_keyset_pagination(spark, sf_dir):
+    """O6: keyset (cursor) pagination — the 100 TB-correct complement
+    to o5's LIMIT/OFFSET. OFFSET must scan-and-discard every earlier
+    row on every page (page N costs O(N) at the sort), while a keyset
+    cursor turns page N+1 into a PREDICATE on the unique total order
+    (n_chars DESC, doc_id) that pushes into the scan: cost per page is
+    O(page), depth-independent. The cursor here is row 60 of the
+    ordering (last row of o5's page 3), fetched as a driver-side
+    1-row lookup exactly as a paging client would carry it."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    cur = (
+        d.orderBy(F.desc("n_chars"), "doc_id").offset(59).limit(1).first()
+    )
+    return (
+        d.where(
+            (F.col("n_chars") < cur.n_chars)
+            | ((F.col("n_chars") == cur.n_chars) & (F.col("doc_id") > cur.doc_id))
+        )
+        .orderBy(F.desc("n_chars"), "doc_id")
+        .limit(20)
+    )
+
+
+@q(
+    "mix_corpus_weighted",
+    """
+    WITH d AS (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 'en' ELSE 'rest' END AS pool
+      FROM documents
+    ),
+    pc AS (SELECT pool, count(*) AS n FROM d GROUP BY pool),
+    rates AS (
+      SELECT pool, (SELECT min(n) FROM pc) / n AS keep_rate FROM pc
+    )
+    SELECT d.doc_id, d.pool FROM d JOIN rates USING (pool)
+    WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+               AS UBIGINT) / 4294967296.0 < rates.keep_rate
+    ORDER BY d.doc_id
+    """,
+)
+def mix_corpus_weighted(spark, sf_dir):
+    """Corpus mixing — downsample the over-represented pool so the
+    training mix hits a target proportion (here en : rest at 1 : 1,
+    keyed off the OBSERVED pool sizes: keep_rate = min_pool / n_pool,
+    so the smaller pool keeps 100%). The keep decision is the
+    p11-style md5-hex threshold — engine-portable, reproducible at
+    any parallelism, stable across reruns (a doc is always in or out)
+    — but with a DATA-DEPENDENT rate: the first 8 md5 hex chars parse
+    to a uniform 32-bit fraction compared against the computed rate
+    (exact cross-engine: integer/4294967296.0 and integer-count
+    division are the same IEEE doubles in both engines). Scale shape:
+    pool counts are one map-side-combined groupBy; the rate table is
+    2 rows broadcast back; the keep predicate evaluates in the scan."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("lang") == "en", F.lit("en"))
+        .otherwise(F.lit("rest"))
+        .alias("pool"),
+    )
+    pc = d.groupBy("pool").agg(F.count(F.lit(1)).alias("n"))
+    rates = pc.crossJoin(
+        F.broadcast(pc.agg(F.min("n").alias("n_min")))
+    ).select("pool", (F.col("n_min") / F.col("n")).alias("keep_rate"))
+    frac = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    return (
+        d.join(F.broadcast(rates), "pool")
+        .where(frac < F.col("keep_rate"))
+        .select("doc_id", "pool")
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "a21_sliding_distinct",
+    """
+    WITH e AS (
+      SELECT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    s AS (SELECT DISTINCT day FROM e)
+    SELECT s.day, count(DISTINCT e.user_id) AS active_7d
+    FROM s JOIN e ON e.day BETWEEN s.day - 6 AND s.day
+    GROUP BY s.day ORDER BY s.day
+    """,
+)
+def a21_sliding_distinct(spark, sf_dir):
+    """A21: trailing-7-day distinct users per day (the sliding-window
+    metric windowed COUNT(DISTINCT) cannot express — Spark forbids
+    DISTINCT aggregates over window frames). Re-expressed as a
+    range join against the tiny day spine: each event lands in ≤7
+    spine windows (bounded fan-out), the spine broadcasts, and the
+    distinct count is an ordinary hash aggregate per (day). At 100 TB
+    the exact count_distinct becomes a mergeable HLL sketch per day
+    (operators/stats.py tier) — the join shape is unchanged."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    spine = e.select(F.col("day").alias("sday")).distinct()
+    return (
+        e.join(
+            F.broadcast(spine),
+            (F.col("day") >= F.date_sub(F.col("sday"), 6))
+            & (F.col("day") <= F.col("sday")),
+        )
+        .groupBy("sday")
+        .agg(F.count_distinct("user_id").alias("active_7d"))
+        .select(F.col("sday").alias("day"), "active_7d")
+        .orderBy("day")
+    )
+
+
 @q("dedup_embedding_cc")  # rows-only: SRP banding + CC are engine-specific
 def dedup_embedding_cc(spark, sf_dir):
     """The embedding-cosine dedup story composed end-to-end (r5):

@@ -103,12 +103,12 @@ def test_driver_window_ordering():
 
 
 def test_registry_counts_match_docs():
-    """README and WINDOW_COVERAGE.md state 101 queries / 85 oracled
+    """README and WINDOW_COVERAGE.md state 104 queries / 88 oracled
     (drift_ks_by_partition gained its exact SQL oracle in r5); pin
     the numbers here so the docs cannot silently drift from the
     registry again (r3 verdict item #7)."""
-    assert len(QUERIES) == 101
-    assert len(ORACLES) == 85
+    assert len(QUERIES) == 104
+    assert len(ORACLES) == 88
 
 
 def test_manual_sessionize_matches_builtin_session_window(spark):
