@@ -90,6 +90,13 @@ def exact_collapse(
     fingerprint join afterwards. Cost: one map-side-combined groupBy
     on the fingerprint plus one semi-join — both linear.
 
+    Reference analog: the reference's dedup semantics are set-based —
+    canonical-key membership, never pairwise comparison
+    (``/root/reference/biosample_enricher/adapters.py:327-338``
+    deduplicates by accumulating canonical ids in a set; its
+    ``http_cache.py:20-44`` canonical request keys are the same
+    canonicalize-then-key pattern ``fingerprint`` re-expresses).
+
     Returns ``(reps, members)``:
 
     - ``reps`` — the representative rows (all original columns), one
