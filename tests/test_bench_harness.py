@@ -93,3 +93,37 @@ def test_wait_quiet_disabled_returns_immediately(monkeypatch):
     monkeypatch.setattr(bs, "QUIET_GATE", 0.0)
     load, waited, ok = bs.wait_quiet()
     assert waited == 0.0 and ok
+
+
+def test_hex_fraction_math_matches_duckdb(spark):
+    """mix_corpus_weighted's keep predicate hinges on
+    conv(substr(md5(id),1,8),16,10)/2^32 (Spark) equalling
+    CAST('0x'||substr(md5(id),1,8) AS UBIGINT)/2^32 (DuckDB) for the
+    SAME id rendering. Fuzz the parity over adversarial ids (0, huge,
+    all-hex-digit-classes) — a divergence here would silently shift
+    the mix, not error."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    ids = [0, 1, 7, 42, 255, 4096, 99999, 123456789, 2**31 - 1,
+           2**40 + 17, 2**62]
+    sdf = spark.createDataFrame([(i,) for i in ids], "doc_id long").select(
+        "doc_id",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16, 10,
+            ).cast("double")
+            / F.lit(4294967296.0)
+        ).alias("frac"),
+    )
+    got = {r.doc_id: r.frac for r in sdf.collect()}
+    con = duckdb.connect()
+    for i in ids:
+        (exp,) = con.execute(
+            "SELECT CAST('0x' || substring(md5(CAST(? AS VARCHAR)), 1, 8)"
+            " AS UBIGINT) / 4294967296.0",
+            [i],
+        ).fetchone()
+        assert got[i] == exp, (i, got[i], exp)
