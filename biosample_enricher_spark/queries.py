@@ -3179,7 +3179,11 @@ def a21_sliding_distinct(spark, sf_dir):
     spine windows (bounded fan-out), the spine broadcasts, and the
     distinct count is an ordinary hash aggregate per (day). At 100 TB
     the exact count_distinct becomes a mergeable HLL sketch per day
-    (operators/stats.py tier) — the join shape is unchanged."""
+    (operators/stats.py tier) — the join shape is unchanged. The
+    broadcast range join compares each event against the whole spine
+    (fine for ≤10³ days); a multi-year spine would pre-bin both sides
+    to week keys (equi-join + residual range filter, the j8 band
+    pattern) to bound comparisons per row at a constant."""
     e = t(spark, sf_dir, "events").select(
         "user_id", F.to_date("ts").alias("day")
     )
