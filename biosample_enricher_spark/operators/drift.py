@@ -351,3 +351,100 @@ def drift_check_by_partition(
     return ks_partitioned(base_len, cur_len, C_DRIFT_SPAN_LEN).unionByName(
         ks_partitioned(base_kind, cur_kind, C_DRIFT_KIND_FREQ)
     )
+
+
+def emd_from_histograms(
+    base_hist: DataFrame,
+    cur_hist: DataFrame,
+    constraint_id: str,
+    bucket_col: str,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """Earth-mover / Wasserstein-1 drift between two histograms over a
+    NUMERIC bucket key, in bucket-width units:
+
+        EMD = sum_b |CDF_base(b) - CDF_cur(b)| * (next_bucket - b)
+
+    The gap weight matters: histograms are sparse (only observed
+    buckets materialize), and the CDF difference persists across an
+    unobserved run of buckets, so each term is weighted by the distance
+    to the next observed bucket. The last bucket's term is 0 (both
+    CDFs have reached their total there).
+
+    Complements the KS tier (max deviation — localized shifts) with
+    total transported mass (broad shifts KS under-weights). Reference
+    analog: the KS drift constraint family of the metrics scorer
+    (``/root/reference/biosample_enricher/metrics/score.py``) — EMD is
+    the additive counterpart over the same histogram inputs.
+
+    Cross-engine exactness: the statistic is assembled as ONE integer
+    numerator ``sum(|ca*nb - cb*na| * gap)`` (ca/cb integer cumulative
+    counts, na/nb integer totals — an order-independent BIGINT sum) and
+    divided by ``na*nb`` exactly once, so Spark and any ANSI-SQL oracle
+    produce bit-identical doubles. The pass verdict is likewise the
+    integer predicate ``den*num <= threshold_num*na*nb`` — no float
+    boundary. Window note: the cumsum window runs over the tiny
+    aggregated histogram (|buckets| rows), not the corpus — the same
+    single-partition-window contract as ``tv_from_histograms``.
+
+    Degenerate verdicts mirror the TV tier: one empty side = maximal
+    drift (emd null, fails); both empty = no evidence (emd 0.0, passes).
+    """
+    a = base_hist.select(
+        F.col(bucket_col).cast("long").alias("bucket"),
+        F.col("n").alias("n_base"),
+    )
+    b = cur_hist.select(
+        F.col(bucket_col).cast("long").alias("bucket"),
+        F.col("n").alias("n_cur"),
+    )
+    joined = a.join(b, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("n_base", F.lit(0)).cast("long").alias("n_base"),
+        F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+    )
+    w = Window.partitionBy().orderBy("bucket")
+    wall = Window.partitionBy()
+    terms = joined.select(
+        F.sum("n_base").over(w).alias("ca"),
+        F.sum("n_cur").over(w).alias("cb"),
+        (F.coalesce(F.lead("bucket").over(w), F.col("bucket")) - F.col("bucket"))
+        .alias("gap"),
+        F.sum("n_base").over(wall).alias("na"),
+        F.sum("n_cur").over(wall).alias("nb"),
+    )
+    tot = terms.groupBy().agg(
+        F.coalesce(
+            F.sum(
+                F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
+                * F.col("gap")
+            ),
+            F.lit(0),
+        ).cast("long").alias("num"),
+        F.coalesce(F.max("na"), F.lit(0)).cast("long").alias("na"),
+        F.coalesce(F.max("nb"), F.lit(0)).cast("long").alias("nb"),
+    )
+    emd = (
+        F.when((F.col("na") == 0) & (F.col("nb") == 0), F.lit(0.0))
+        .when((F.col("na") == 0) | (F.col("nb") == 0), F.lit(None).cast("double"))
+        .otherwise(
+            F.col("num") / (F.col("na") * F.col("nb"))
+        )
+    )
+    passed = (
+        F.when((F.col("na") == 0) & (F.col("nb") == 0), F.lit(True))
+        .when((F.col("na") == 0) | (F.col("nb") == 0), F.lit(False))
+        .otherwise(
+            F.lit(int(threshold_den)) * F.col("num")
+            <= F.lit(int(threshold_num)) * F.col("na") * F.col("nb")
+        )
+    )
+    return tot.select(
+        F.lit(constraint_id).alias("constraint_id"),
+        emd.alias("emd_buckets"),
+        F.col("na").alias("n_base"),
+        F.col("nb").alias("n_cur"),
+        F.lit(float(threshold_num) / float(threshold_den)).alias("threshold"),
+        passed.alias("passed"),
+    )

@@ -1,0 +1,105 @@
+"""Frequent-item (heavy-hitter) detection at corpus scale.
+
+Two-pass candidate/verify design — the pattern that makes exact heavy
+hitters affordable at 100 TB:
+
+1. **Candidate pass** (``mg_partition_candidates``): one scan, zero
+   shuffle. Each partition folds its Arrow batches into a bounded
+   Misra-Gries summary (``cap`` counters) and emits only the surviving
+   tokens. MG summaries are mergeable with additive error (Agarwal,
+   Cormode, Huang, Phillips, Wei, Yi — "Mergeable Summaries", PODS
+   2012, public literature): folding a batch in and trimming to
+   ``cap`` counters by subtracting the (cap+1)-th largest count
+   removes ≥ (cap+1)·cut mass per trim, so the cumulative undercount
+   D of any token obeys D ≤ n_p/(cap+1) for a partition of n_p
+   tokens. Hence every token with partition share > 1/(cap+1)
+   survives; since a global token with count > N/k must exceed share
+   1/k in ≥1 partition (weighted pigeonhole), ``cap ≥ k`` makes the
+   union of per-partition survivors a guaranteed SUPERSET of the
+   global heavy hitters.
+
+2. **Verify pass** (``heavy_hitters``): exact counts of candidates
+   only — a broadcast semi-join keeps the groupBy's shuffle bounded by
+   |candidates| × partitions instead of |distinct tokens| ×
+   partitions — then the exact integer threshold ``cnt·k > N``.
+   Because pass 1 is a superset and pass 2 is exact, the output is
+   EXACTLY the set a full groupBy would produce (deterministic,
+   SQL-oracle-matchable), at a fraction of the shuffle.
+
+Reference analog: the reference's mode/histogram statistics
+(``/root/reference/biosample_enricher/schema_statistics.py``) compute
+value frequencies eagerly per field; this module is the
+bounded-memory, bounded-shuffle form of the same question.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def mg_partition_candidates(
+    tokens: DataFrame, token_col: str = "token", cap: int = 4096
+) -> DataFrame:
+    """Per-partition Misra-Gries survivors (see module docstring for
+    the superset guarantee). Vectorized: per-batch ``value_counts``
+    folded into a running Series; the per-item classic MG loop never
+    runs. Returns a distinct single-column ``token`` frame of at most
+    ``cap`` tokens per input partition."""
+
+    def per_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counts: pd.Series | None = None
+        for pdf in batches:
+            vc = pdf[token_col].dropna().value_counts()
+            if vc.empty:
+                continue
+            counts = vc if counts is None else counts.add(vc, fill_value=0)
+            if len(counts) > cap:
+                # trim: subtract the (cap+1)-th largest from all, drop
+                # non-positive. Mass removed ≥ (cap+1)·cut (the top
+                # cap+1 counters each lose cut), giving Σcut ≤
+                # n_p/(cap+1) — the mergeable-summaries bound.
+                cut = counts.nlargest(cap + 1).iloc[-1]
+                counts = counts - cut
+                counts = counts[counts > 0]
+        if counts is not None and len(counts):
+            yield pd.DataFrame({"token": counts.index.astype(str)})
+
+    return tokens.mapInPandas(per_partition, "token string").distinct()
+
+
+def heavy_hitters(
+    tokens: DataFrame, token_col: str = "token", k: int = 50, cap: int = 4096
+) -> DataFrame:
+    """Exact global heavy hitters: tokens with ``count·k > N`` over a
+    single-column token frame, via the two-pass MG candidate/verify
+    plan (module docstring). ``cap ≥ k`` is required for the
+    candidate-superset guarantee. Returns
+    ``(token, cnt, n_total, share)`` — ``share`` is one exact integer
+    division, so verdicts and values are bit-identical to any ANSI-SQL
+    oracle's plain ``GROUP BY ... HAVING cnt*k > N``."""
+    if cap < k:
+        raise ValueError(f"cap ({cap}) must be >= k ({k}) for the superset bound")
+    toks = tokens.select(F.col(token_col).alias("token")).where(
+        F.col("token").isNotNull()
+    )
+    cand = mg_partition_candidates(toks, "token", cap)
+    n_total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    exact = (
+        toks.join(F.broadcast(cand), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(n_total))
+        .where(F.col("cnt") * F.lit(int(k)) > F.col("n_total"))
+        .select(
+            "token",
+            "cnt",
+            "n_total",
+            (F.col("cnt") / F.col("n_total")).alias("share"),
+        )
+    )

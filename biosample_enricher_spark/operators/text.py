@@ -183,3 +183,14 @@ def fingerprint(text: Column) -> Column:
     """Deterministic 128-bit content fingerprint (md5 of the canonical
     form) — portable to the DuckDB oracle."""
     return F.md5(normalize_for_fingerprint(text))
+
+
+def ascii_word_tokens(text: Column) -> Column:
+    """Maximal ``[a-z0-9_]+`` runs of the ASCII-folded text, empties
+    dropped — the cross-engine tokenization every SQL-oracled token
+    operator shares (split class + ASCII fold chosen for the exact
+    Java-regex/RE2/utf8proc parity reasons documented on WORD_SPLIT /
+    ascii_lower above). Null text → null."""
+    return F.filter(
+        F.split(ascii_lower(text), WORD_SPLIT), lambda x: x != F.lit("")
+    )

@@ -3461,6 +3461,318 @@ def p12_unpivot(spark, sf_dir):
     ).orderBy("doc_id", "metric")
 
 
+# =====================================================================
+# round-5 additions (post-window → r6 rotation): EMD drift tier, rank
+# variants, entropy profile, integer-exact z-score outliers, prefix-
+# filtered n-gram Jaccard, two-pass heavy hitters
+# =====================================================================
+
+@q(
+    "drift_emd_nchars",
+    """
+    WITH h AS (
+      SELECT CAST(floor(n_chars / 64) AS BIGINT) AS bucket,
+             sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS nb_,
+             sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS nc_
+      FROM documents GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(nb_) AS BIGINT) AS na, CAST(sum(nc_) AS BIGINT) AS nb
+      FROM h
+    ), c AS (
+      SELECT bucket,
+             sum(nb_) OVER (ORDER BY bucket) AS ca,
+             sum(nc_) OVER (ORDER BY bucket) AS cb,
+             lead(bucket) OVER (ORDER BY bucket) AS nxt
+      FROM h
+    ), agg AS (
+      SELECT CAST(sum(abs(ca * tot.nb - cb * tot.na)
+                   * (COALESCE(nxt, bucket) - bucket)) AS BIGINT) AS num
+      FROM c, tot
+    )
+    SELECT 'drift_n_chars_emd' AS constraint_id,
+           CAST(num AS DOUBLE) / (tot.na * tot.nb) AS emd_buckets,
+           tot.na AS n_base, tot.nb AS n_cur,
+           0.5 AS threshold,
+           2 * num <= tot.na * tot.nb AS passed
+    FROM agg, tot
+    """,
+)
+def drift_emd_nchars(spark, sf_dir):
+    """§2.9 drift, Wasserstein-1 tier: earth-mover distance between the
+    even/odd-doc_id n_chars histograms (same bucketing as
+    drift_ks_nchars), in bucket-width units, gap-weighted across
+    unobserved buckets. Complements KS (max deviation) with total
+    transported mass. Exact cross-engine equality: one BIGINT
+    numerator sum(|ca·nb − cb·na|·gap) — order-independent — divided
+    once; verdict is the integer predicate 2·num ≤ na·nb
+    (operators/drift.py emd_from_histograms)."""
+    from .operators.drift import emd_from_histograms
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.floor(F.col("n_chars") / 64).alias("bucket")
+    )
+    base = d.where(F.col("doc_id") % 2 == 0).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    cur = d.where(F.col("doc_id") % 2 == 1).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return emd_from_histograms(
+        base, cur, "drift_n_chars_emd", "bucket", threshold_num=1, threshold_den=2
+    )
+
+
+@q(
+    "w8_rank_variants",
+    """
+    SELECT doc_id, lang, n_chars,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd,
+           ntile(4) OVER w AS quartile
+    FROM documents
+    WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+    ORDER BY lang, n_chars, doc_id
+    """,
+)
+def w8_rank_variants(spark, sf_dir):
+    """W8: relative-rank window variants — percent_rank, cume_dist,
+    ntile quartiles per lang. The ORDER BY is fully tie-broken
+    (n_chars, doc_id) so ntile's row assignment — which the SQL
+    standard leaves order-dependent within ties — is deterministic and
+    engine-independent; percent_rank/cume_dist are then single exact
+    integer divisions. One shuffle on the partition key, no joins."""
+    d = t(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.ntile(4).over(w).alias("quartile"),
+    ).orderBy("lang", "n_chars", "doc_id")
+
+
+@q(
+    "a22_entropy_profile",
+    """
+    WITH lc AS (SELECT lang AS v, count(*) AS c FROM documents GROUP BY 1),
+         sc AS (SELECT source AS v, count(*) AS c FROM documents GROUP BY 1)
+    SELECT 'lang' AS column_name,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (WHERE v IS NOT NULL) AS BIGINT) AS n_distinct,
+           round(ln(CAST(sum(c) AS DOUBLE))
+                 - sum(c * ln(CAST(c AS DOUBLE))) / sum(c), 9) AS entropy_nats,
+           CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS max_share
+    FROM lc
+    UNION ALL
+    SELECT 'source',
+           CAST(sum(c) AS BIGINT),
+           CAST(count(*) FILTER (WHERE v IS NOT NULL) AS BIGINT),
+           round(ln(CAST(sum(c) AS DOUBLE))
+                 - sum(c * ln(CAST(c AS DOUBLE))) / sum(c), 9),
+           CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+    FROM sc
+    ORDER BY column_name
+    """,
+)
+def a22_entropy_profile(spark, sf_dir):
+    """A22: categorical data-quality profile per column — row count,
+    distinct non-null values, Shannon entropy (nats), and dominant-
+    value share. Entropy uses the count identity
+    H = ln(n) − Σc·ln(c)/n so the only float aggregation is over
+    |categories| terms (rounded 9dp on both engines — ln() is libm,
+    not correctly-rounded, so bit-equality is not guaranteed there);
+    max_share is one exact integer division. One groupBy per profiled
+    column over a column-pruned scan; the reference analog is the
+    per-field frequency statistics of schema_statistics.py:78-103."""
+    d = t(spark, sf_dir, "documents")
+
+    def prof(col: str) -> DataFrame:
+        cnts = d.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        return cnts.agg(
+            F.sum("c").alias("n"),
+            F.count(F.when(F.col(col).isNotNull(), F.lit(1))).alias("nd"),
+            F.sum(F.col("c") * F.log(F.col("c"))).alias("clnc"),
+            F.max("c").alias("maxc"),
+        ).select(
+            F.lit(col).alias("column_name"),
+            F.col("n").cast("long").alias("n_rows"),
+            F.col("nd").cast("long").alias("n_distinct"),
+            F.round(F.log(F.col("n")) - F.col("clnc") / F.col("n"), 9).alias(
+                "entropy_nats"
+            ),
+            (F.col("maxc").cast("double") / F.col("n").cast("double")).alias(
+                "max_share"
+            ),
+        )
+
+    return prof("lang").unionByName(prof("source")).orderBy("column_name")
+
+
+@q(
+    "a23_outlier_zscore",
+    """
+    WITH s AS (
+      SELECT event_id, event_type,
+             CAST(floor(value) AS BIGINT) AS v,
+             CAST(count(CAST(floor(value) AS BIGINT)) OVER w AS BIGINT) AS n,
+             CAST(sum(CAST(floor(value) AS BIGINT)) OVER w AS BIGINT) AS sm,
+             CAST(sum(CAST(floor(value) AS BIGINT)
+                      * CAST(floor(value) AS BIGINT)) OVER w AS BIGINT) AS q
+      FROM events
+      WINDOW w AS (PARTITION BY event_type)
+    )
+    SELECT event_id, event_type, v,
+           CAST(n * v - sm AS DOUBLE)
+             / sqrt(CAST(n * q - sm * sm AS DOUBLE)) AS z
+    FROM s
+    WHERE n >= 30
+      AND (n * v - sm) * (n * v - sm) > 9 * (n * q - sm * sm)
+    ORDER BY event_id
+    """,
+)
+def a23_outlier_zscore(spark, sf_dir):
+    """A23: per-group z-score outlier detection (|z| > 3 on the
+    event value within each event_type, population sigma, groups of
+    >= 30) — the distribution-outlier constraint family as violation
+    rows (187 rows at sf0.01, so the external row is non-trivial).
+    The value is quantized to whole units (floor — exact on IEEE
+    doubles in both engines) so the sufficient statistics are BIGINTs
+    and the entire verdict is integer arithmetic: |z| > 3 iff
+    (n·v − Σv)² > 9·(n·Σv² − (Σv)²) — NO float boundary; z itself —
+    (n·v − Σv)/√(n·Σv² − (Σv)²) — is built from exact integers by
+    correctly-rounded IEEE ops (sqrt, one division), bit-identical
+    across engines. Overflow bound: safe while n·max(v)² < 2⁶³/9 per
+    group (~10¹⁷ — beyond sf10 here; at 10¹² docs use the same
+    predicate in DECIMAL(38)). One window shuffle on the group key,
+    no joins."""
+    d = t(spark, sf_dir, "events")
+    w = W.partitionBy("event_type")
+    v = F.floor(F.col("value")).cast("long")
+    s = d.select(
+        "event_id",
+        "event_type",
+        v.alias("v"),
+        F.count(v).over(w).alias("n"),
+        F.sum(v).over(w).alias("sm"),
+        F.sum(v * v).over(w).alias("q"),
+    )
+    dev = F.col("n") * F.col("v") - F.col("sm")
+    varn = F.col("n") * F.col("q") - F.col("sm") * F.col("sm")
+    return (
+        s.where((F.col("n") >= 30) & (dev * dev > 9 * varn))
+        .select(
+            "event_id",
+            "event_type",
+            "v",
+            (dev.cast("double") / F.sqrt(varn.cast("double"))).alias("z"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@q(
+    "dedup_ngram_jaccard",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(translate(text,
+               'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
+               '[^a-z0-9_]+'), x -> x <> '') AS tk
+      FROM documents WHERE text IS NOT NULL
+    ), bg AS (
+      SELECT doc_id, unnest(list_distinct(
+        list_transform(list_zip(tk[1:len(tk)-1], tk[2:len(tk)]),
+                       s -> s[1] || ' ' || s[2]))) AS shingle
+      FROM toks WHERE len(tk) >= 2
+    ), sz AS (SELECT doc_id, count(*) AS n FROM bg GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(*) AS BIGINT) AS n_inter
+      FROM bg a JOIN bg b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_inter,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+           CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE 5 * n_inter >= 3 * (sa.n + sb.n - n_inter)
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Dedup family, exact n-gram Jaccard member: word-bigram set
+    Jaccard ≥ 0.6 pairs via LOSSLESS prefix filtering
+    (operators/dedup.py prefix_filtered_jaccard — ppjoin prefix
+    principle, rarest-first global shingle order). The oracle is the
+    FULL inverted-index join; equality of the two is exactly the
+    prefix-filter losslessness claim, externally checked. Threshold
+    is the integer predicate 5·|A∩B| ≥ 3·|A∪B| (= 0.6) — no float
+    boundary; jaccard is one exact integer division. Tokenization is
+    the cross-engine ASCII form (operators/text.py
+    ascii_word_tokens)."""
+    from .operators.text import ascii_word_tokens
+
+    d = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    pairs = D.prefix_filtered_jaccard(
+        d,
+        "doc_id",
+        D.token_bigrams(ascii_word_tokens(F.col("text"))),
+        threshold_num=3,
+        threshold_den=5,
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.col("n_inter").cast("long").alias("n_inter"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        "jaccard",
+    ).orderBy("id_a", "id_b")
+
+
+@q(
+    "a24_heavy_hitters",
+    """
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split_regex(translate(text,
+        'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
+        '[^a-z0-9_]+'), x -> x <> '')) AS token
+      FROM documents WHERE text IS NOT NULL
+    ), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM tok)
+    SELECT token, CAST(count(*) AS BIGINT) AS cnt, tot.n_total AS n_total,
+           CAST(count(*) AS DOUBLE) / tot.n_total AS share
+    FROM tok, tot
+    GROUP BY token, tot.n_total
+    HAVING count(*) * 50 > tot.n_total
+    ORDER BY token
+    """,
+)
+def a24_heavy_hitters(spark, sf_dir):
+    """A24: exact heavy-hitter tokens (share > 1/50) via the two-pass
+    Misra-Gries candidate/verify plan (operators/freq.py): pass 1
+    scans once with ZERO shuffle, folding Arrow batches into a
+    bounded mergeable MG summary per partition whose survivors are a
+    guaranteed superset of the global heavy hitters (undercount ≤
+    n_p/(cap+1), weighted pigeonhole across partitions); pass 2
+    exact-counts only the candidates behind a broadcast semi-join.
+    Output is therefore EXACTLY the plain GROUP-BY/HAVING set the
+    oracle computes — at a shuffle bounded by |candidates| instead of
+    |vocabulary|. share is one exact integer division."""
+    from .operators.freq import heavy_hitters
+    from .operators.text import ascii_word_tokens
+
+    toks = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(F.explode(ascii_word_tokens(F.col("text"))).alias("token"))
+    )
+    return heavy_hitters(toks, "token", k=50, cap=4096).orderBy("token")
+
+
 # --- driver CORRECTNESS window ordering ---------------------------------------
 #
 # The external driver oracle-checks the FIRST 50 registered queries per

@@ -833,3 +833,136 @@ def test_quantified_rowsonly_family_round5_floors(spark):
     assert len(sh) > 0
     assert all(r.hamming <= 3 for r in sh)
     assert min(r.word_jaccard for r in sh) >= 0.8
+
+
+# --- prefix-filtered exact Jaccard (round 5b) ---------------------------------
+
+from biosample_enricher_spark.operators import dedup as D  # noqa: E402
+
+
+def _bigram_docs(spark):
+    """Small corpus with planted near-dup pairs, disjoint docs, short
+    docs (0/1 tokens → no bigrams), and a hot shingle shared by many
+    docs that must NOT create accepted pairs."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    rows = [
+        (1, base),
+        (2, near),            # high-jaccard pair with 1
+        (3, base.upper()),    # identical after ASCII fold → jaccard 1 with 1
+        (4, "totally different words entirely here now"),
+        (5, "one"),           # 1 token → no bigrams
+        (6, ""),              # blank
+        (7, None),            # null text
+    ]
+    # hot-shingle docs: all share "common pair" plus unique tails
+    for i in range(20):
+        rows.append((100 + i, f"common pair unique{i} tail{i} more{i} words{i}"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _full_index_pairs(spark, docs, num, den):
+    """Reference: FULL inverted-index exact Jaccard (no prefix filter)."""
+    from biosample_enricher_spark.operators.text import ascii_word_tokens
+
+    sh = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", D.token_bigrams(ascii_word_tokens(F.col("text"))).alias("sh")
+    ).where(F.size("sh") > 0)
+    idx = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
+    a, b = idx.alias("a"), idx.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("doc_id").alias("id_a"),
+                                F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"),
+                           F.col("n_sh").alias("n_b")), "id_b")
+        .where(F.lit(den) * F.col("c")
+               >= F.lit(num) * (F.col("n_a") + F.col("n_b") - F.col("c")))
+    )
+    return {
+        (r["id_a"], r["id_b"]): (r["c"], r["n_a"], r["n_b"])
+        for r in out.collect()
+    }
+
+
+def test_prefix_filtered_jaccard_equals_full_index(spark):
+    """The losslessness claim itself: prefix-filtered result ==
+    full-inverted-index result, pair for pair and value for value."""
+    from biosample_enricher_spark.operators.text import ascii_word_tokens
+
+    docs = _bigram_docs(spark)
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_inter"], r["n_a"], r["n_b"])
+        for r in D.prefix_filtered_jaccard(
+            docs, "doc_id",
+            D.token_bigrams(ascii_word_tokens(F.col("text"))),
+            threshold_num=3, threshold_den=5,
+        ).collect()
+    }
+    exp = _full_index_pairs(spark, docs, 3, 5)
+    assert got == exp
+    assert (1, 2) in got and (1, 3) in got  # planted pairs found
+    assert got[(1, 3)][0] == got[(1, 3)][1]  # identical → full overlap
+    assert not any(a >= 100 or b >= 100 for a, b in got)  # hot shingle: no pairs
+
+
+def test_prefix_filtered_jaccard_thresholds(spark):
+    """Integer threshold semantics: at num/den = 9/10 only the
+    identical pair survives; at 1/1 jaccard must be exactly 1.0."""
+    from biosample_enricher_spark.operators.text import ascii_word_tokens
+
+    docs = _bigram_docs(spark)
+    sh = D.token_bigrams(ascii_word_tokens(F.col("text")))
+    strict = D.prefix_filtered_jaccard(docs, "doc_id", sh, 9, 10).collect()
+    assert {(r["id_a"], r["id_b"]) for r in strict} == {(1, 3)}
+    exact = D.prefix_filtered_jaccard(docs, "doc_id", sh, 1, 1).collect()
+    assert all(r["jaccard"] == 1.0 for r in exact)
+    assert {(r["id_a"], r["id_b"]) for r in exact} == {(1, 3)}
+
+
+def test_prefix_join_is_smaller_than_full_index(spark):
+    """The scale claim: the prefix candidate join emits strictly fewer
+    pairs than the full index join on a corpus with a hot shingle
+    (rarest-first prefixes skip it)."""
+    from biosample_enricher_spark.operators.text import ascii_word_tokens
+
+    docs = _bigram_docs(spark)
+    sh = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", D.token_bigrams(ascii_word_tokens(F.col("text"))).alias("sh")
+    ).where(F.size("sh") > 0)
+    idx = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    a, b = idx.alias("a"), idx.alias("b")
+    full_pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id"), F.col("b.doc_id")).distinct().count()
+    )
+    # candidate pairs actually compared by the prefix-filtered path:
+    # rebuild the prefix join exactly as the operator does.
+    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
+    docfreq = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    from pyspark.sql import Window
+    ranked = (
+        idx.join(docfreq, "shingle").join(sizes, "doc_id")
+        .withColumn("_rn", F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("_df", "shingle")))
+    )
+    plen = (F.col("n_sh")
+            - F.floor((F.lit(3) * F.col("n_sh") + F.lit(4)) / F.lit(5))
+            + F.lit(1))
+    prefix = ranked.where(F.col("_rn") <= plen).select("doc_id", "shingle")
+    pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    cand_pairs = (
+        pa.join(pb, (F.col("pa.shingle") == F.col("pb.shingle"))
+                & (F.col("pa.doc_id") < F.col("pb.doc_id")))
+        .select(F.col("pa.doc_id"), F.col("pb.doc_id")).distinct().count()
+    )
+    assert cand_pairs < full_pairs
+    # the hot "common pair" shingle alone would contribute 20*19/2 pairs
+    assert cand_pairs < 20 * 19 // 2

@@ -237,3 +237,69 @@ def test_per_partition_drift_matches_per_partition_recompute(spark):
         .collect()
     }
     assert flagged == {2}
+
+
+# --- EMD / Wasserstein-1 tier (round 5b) --------------------------------------
+
+
+def _hist(spark, rows):
+    return spark.createDataFrame(rows, "bucket long, n long")
+
+
+def test_emd_known_value_and_gap_weighting(spark):
+    from biosample_enricher_spark.operators.drift import emd_from_histograms
+
+    # base all at bucket 0, cur all at bucket 5 → EMD = 5 bucket widths
+    # (CDF diff |1-0| persists across the gap of width 5).
+    base = _hist(spark, [(0, 10)])
+    cur = _hist(spark, [(5, 10)])
+    r = emd_from_histograms(base, cur, "c", "bucket", 1, 2).collect()[0]
+    assert r["emd_buckets"] == 5.0
+    assert r["passed"] is False
+    assert (r["n_base"], r["n_cur"]) == (10, 10)
+
+
+def test_emd_identical_histograms_zero(spark):
+    from biosample_enricher_spark.operators.drift import emd_from_histograms
+
+    h = [(0, 3), (2, 5), (7, 2)]
+    r = emd_from_histograms(
+        _hist(spark, h), _hist(spark, h), "c", "bucket", 1, 2
+    ).collect()[0]
+    assert r["emd_buckets"] == 0.0
+    assert r["passed"] is True
+
+
+def test_emd_fractional_shift_exact(spark):
+    from biosample_enricher_spark.operators.drift import emd_from_histograms
+
+    # base: 2@0, 2@1; cur: 1@0, 3@1. CDF diff at bucket 0:
+    # |2*4 - 1*4| = 4 → /(4*4) = 0.25 bucket widths.
+    base = _hist(spark, [(0, 2), (1, 2)])
+    cur = _hist(spark, [(0, 1), (1, 3)])
+    r = emd_from_histograms(base, cur, "c", "bucket", 1, 2).collect()[0]
+    assert r["emd_buckets"] == 0.25
+    assert r["passed"] is True  # 0.25 <= 0.5
+
+
+def test_emd_degenerate_sides(spark):
+    from biosample_enricher_spark.operators.drift import emd_from_histograms
+
+    empty = _hist(spark, [])
+    full = _hist(spark, [(0, 4)])
+    one_side = emd_from_histograms(empty, full, "c", "bucket", 1, 2).collect()[0]
+    assert one_side["passed"] is False and one_side["emd_buckets"] is None
+    both = emd_from_histograms(empty, empty, "c", "bucket", 1, 2).collect()[0]
+    assert both["passed"] is True and both["emd_buckets"] == 0.0
+
+
+def test_emd_threshold_is_integer_exact(spark):
+    from biosample_enricher_spark.operators.drift import emd_from_histograms
+
+    # EMD exactly at the threshold passes (<=): base 1@0,1@1; cur 2@1
+    # → diff at bucket 0 = |1*2 - 0*2| = 2 → /(2*2) = 0.5.
+    base = _hist(spark, [(0, 1), (1, 1)])
+    cur = _hist(spark, [(1, 2)])
+    r = emd_from_histograms(base, cur, "c", "bucket", 1, 2).collect()[0]
+    assert r["emd_buckets"] == 0.5
+    assert r["passed"] is True

@@ -1,0 +1,85 @@
+"""Two-pass Misra-Gries heavy hitters (operators/freq.py): the
+candidate-superset guarantee under forced trims, exactness of the
+final output vs a plain groupBy, and the bounded-candidate property."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from biosample_enricher_spark.operators.freq import (
+    heavy_hitters,
+    mg_partition_candidates,
+)
+
+
+def _skewed_tokens(spark, n_heavy=8, heavy_count=400, n_tail=3000, seed=7):
+    """A few genuinely heavy tokens over a long distinct tail — the
+    tail forces MG trims at small caps while the heavy set must
+    survive them."""
+    rng = random.Random(seed)
+    rows = []
+    for h in range(n_heavy):
+        rows += [(f"heavy_{h}",)] * heavy_count
+    for i in range(n_tail):
+        rows.append((f"tail_{i}_{rng.randint(0, 10**6)}",))
+    rng.shuffle(rows)
+    return spark.createDataFrame(rows, "token string").repartition(8)
+
+
+def test_heavy_hitters_exact_vs_groupby(spark):
+    toks = _skewed_tokens(spark)
+    k, cap = 50, 64  # cap far below |vocab| (~3008) → trims happen
+    got = {
+        r["token"]: (r["cnt"], r["n_total"])
+        for r in heavy_hitters(toks, "token", k=k, cap=cap).collect()
+    }
+    n = toks.count()
+    exp = {
+        r["token"]: (r["cnt"], n)
+        for r in toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") * k > F.lit(n))
+        .collect()
+    }
+    assert got == exp
+    assert len(exp) == 8  # all planted heavies, nothing else
+
+
+def test_mg_candidates_superset_and_bounded(spark):
+    toks = _skewed_tokens(spark)
+    cap = 64
+    cand = set(
+        r["token"] for r in mg_partition_candidates(toks, "token", cap).collect()
+    )
+    n = toks.count()
+    heavies = set(
+        r["token"]
+        for r in toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") * (cap + 1) > F.lit(n))
+        .collect()
+    )
+    # superset guarantee at the MG bound (share > 1/(cap+1))
+    assert heavies <= cand
+    # bounded: at most cap survivors per input partition
+    assert len(cand) <= cap * toks.rdd.getNumPartitions()
+
+
+def test_heavy_hitters_cap_below_k_rejected(spark):
+    toks = spark.createDataFrame([("a",)], "token string")
+    with pytest.raises(ValueError):
+        heavy_hitters(toks, k=200, cap=100)
+
+
+def test_heavy_hitters_share_is_exact_division(spark):
+    toks = spark.createDataFrame(
+        [("x",)] * 30 + [("y",)] * 10, "token string"
+    ).repartition(4)
+    rows = {r["token"]: r for r in heavy_hitters(toks, k=3, cap=16).collect()}
+    assert set(rows) == {"x"}
+    assert rows["x"]["cnt"] == 30
+    assert rows["x"]["n_total"] == 40
+    assert rows["x"]["share"] == 30 / 40
