@@ -65,6 +65,27 @@ SECTIONS = [
         "The md5-threshold predicate evaluates in the scan stage; no "
         "shuffle, no sampling operator state.",
     ),
+    (
+        "a23_outlier_zscore — one window shuffle for all sufficient stats",
+        "count/sum/sum-of-squares ride ONE Window over ONE hash "
+        "exchange on the group key; the |z|>3 verdict is the integer "
+        "predicate (n·v−Σv)² > 9(n·Σv²−(Σv)²) folded into the Filter.",
+    ),
+    (
+        "a24_heavy_hitters — two-pass MG candidate/verify",
+        "Pass 1: one MapInPandas, zero shuffle (per-partition "
+        "mergeable Misra-Gries survivors). Pass 2: broadcast LEFT "
+        "SEMI filter before the exact count, so the groupBy shuffles "
+        "only candidate tokens; the single BroadcastNestedLoopJoin "
+        "is the 1-row n_total cross join.",
+    ),
+    (
+        "dedup_ngram_jaccard — lossless prefix-filtered similarity join",
+        "All joins are hash-based (no CartesianProduct / nested-loop "
+        "pair enumeration): candidates come from the rarest-prefix "
+        "self-join, intersections from two equi-joins on (doc, "
+        "shingle).",
+    ),
 ]
 
 

@@ -257,3 +257,49 @@ def test_corr_sufficient_stats_is_single_partial_agg_pass(spark):
     p = plan(QUERIES["a18_corr_sufficient_stats"](spark, SF))
     assert p.count("FileScan") == 1
     assert "partial_sum" in p or "partial" in p
+
+
+def test_zscore_outliers_single_window_shuffle(spark):
+    """a23: all three sufficient-stat window aggs (count/sum/sum-sq)
+    must ride ONE Window operator over ONE hash Exchange on the group
+    key — not one shuffle per statistic. (The only other Exchange is
+    the presentation ORDER BY's range partitioning.)"""
+    import re
+
+    p = plan(QUERIES["a23_outlier_zscore"](spark, SF))
+    assert p.count("Window") == 1
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
+
+
+def test_rank_variants_single_window_shuffle(spark):
+    """w8: percent_rank, cume_dist and ntile share one window spec →
+    one Window operator, one hash Exchange."""
+    import re
+
+    p = plan(QUERIES["w8_rank_variants"](spark, SF))
+    assert p.count("Window") == 1
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
+    for fn in ("percent_rank", "cume_dist", "ntile"):
+        assert fn in p
+
+
+def test_ngram_jaccard_has_no_nested_loop_joins(spark):
+    """dedup_ngram_jaccard: every join (prefix candidates, intersection
+    count, size lookups) must be hash-based — a CartesianProduct or
+    BroadcastNestedLoopJoin here means the inequality self-join
+    condition leaked past the equi-join key."""
+    p = plan(QUERIES["dedup_ngram_jaccard"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_heavy_hitters_two_pass_shape(spark):
+    """a24: pass 1 is exactly one MapInPandas (zero-shuffle MG
+    candidates); pass 2 filters through a broadcast LEFT SEMI join
+    before the exact count; the only nested-loop join allowed is the
+    single-row n_total cross join."""
+    p = plan(QUERIES["a24_heavy_hitters"](spark, SF))
+    assert p.count("MapInPandas") == 1
+    assert "LeftSemi" in p and "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") <= 1  # 1-row n_total only
