@@ -3773,6 +3773,129 @@ def a24_heavy_hitters(spark, sf_dir):
     return heavy_hitters(toks, "token", k=50, cap=4096).orderBy("token")
 
 
+@q(
+    "w9_forward_fill",
+    """
+    SELECT event_id, user_id,
+           CASE WHEN event_id % 7 <> 0 THEN value END AS v_masked,
+           last_value(CASE WHEN event_id % 7 <> 0 THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS v_filled
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def w9_forward_fill(spark, sf_dir):
+    """W9: forward-fill (last-observation-carried-forward) — the
+    gap-repair window op every sensor/telemetry training pipeline
+    needs: nulls take the latest preceding non-null value within the
+    entity's ordered history (last(..., ignorenulls=True) over a
+    running ROWS frame; leading nulls stay null). The testdata has no
+    physical nulls, so a deterministic mask (event_id % 7 = 0)
+    manufactures them identically in both engines. Values are carried,
+    never computed — no float arithmetic at all. Ordering is fully
+    tie-broken (ts, event_id). One hash shuffle on user_id."""
+    d = t(spark, sf_dir, "events")
+    masked = F.when(F.col("event_id") % 7 != 0, F.col("value"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return d.select(
+        "event_id",
+        "user_id",
+        masked.alias("v_masked"),
+        F.last(masked, ignorenulls=True).over(w).alias("v_filled"),
+    ).orderBy("event_id")
+
+
+@q(
+    "a25_skew_kurtosis",
+    """
+    WITH m AS (
+      SELECT event_type,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(CAST(floor(value) AS BIGINT)) AS HUGEINT) AS s1,
+             CAST(sum(CAST(floor(value) AS BIGINT)
+                      * CAST(floor(value) AS BIGINT)) AS HUGEINT) AS s2,
+             CAST(sum(CAST(floor(value) AS BIGINT)
+                      * CAST(floor(value) AS BIGINT)
+                      * CAST(floor(value) AS BIGINT)) AS HUGEINT) AS s3,
+             CAST(sum(CAST(floor(value) AS BIGINT)
+                      * CAST(floor(value) AS BIGINT)
+                      * CAST(floor(value) AS BIGINT)
+                      * CAST(floor(value) AS BIGINT)) AS HUGEINT) AS s4
+      FROM events GROUP BY 1
+    ), c AS (
+      SELECT event_type, n,
+             n * s2 - s1 * s1 AS m2,
+             n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS m3,
+             n * n * n * s4 - 4 * n * n * s1 * s3
+               + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1 AS m4
+      FROM m
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CAST(m3 AS DOUBLE)
+             / (CAST(m2 AS DOUBLE) * sqrt(CAST(m2 AS DOUBLE))) AS skewness,
+           CAST(m4 AS DOUBLE)
+             / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)) - 3 AS kurtosis_excess
+    FROM c
+    ORDER BY event_type
+    """,
+)
+def a25_skew_kurtosis(spark, sf_dir):
+    """A25: higher-moment shape statistics per group from EXACT integer
+    sufficient statistics — the single-pass mergeable-moments pattern
+    (one map-side-combined agg; partials are just sums, so the same
+    plan merges across 1000 executors). The value is quantized to
+    whole units (floor — exact on doubles); then with
+    S_k = Σv^k (exact integers):
+
+        m2 = n·S2 − S1²                       (= n²σ²)
+        m3 = n²·S3 − 3n·S1·S2 + 2S1³          (= n²·Σ(v−μ)³)
+        m4 = n³·S4 − 4n²·S1·S3 + 6n·S1²·S2 − 3S1⁴  (= n³·Σ(v−μ)⁴)
+        skewness g1 = m3 / m2^{3/2},  excess kurtosis g2 = m4/m2² − 3
+
+    m3/m4 exceed 64 bits (S1⁴ ~ 10²⁸ at sf0.1) so both sides compute
+    them in wide exact integers (Spark DECIMAL(38,0) / DuckDB
+    HUGEINT); the wide-int→double conversion is round-to-nearest in
+    both engines and the remaining ops (sqrt, one multiply, one
+    divide) are correctly-rounded IEEE — bit-identical results with
+    no rounding fudge. Overflow bound: 3·S1⁴ < 10³⁸ holds to ~10⁶
+    rows/group at v≤10³; beyond that, split groups or widen scale."""
+    d = t(spark, sf_dir, "events")
+    v = F.floor(F.col("value")).cast("long")
+    dec = "decimal(38,0)"
+    m = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(v).cast(dec).alias("s1"),
+        F.sum(v * v).cast(dec).alias("s2"),
+        F.sum(v * v * v).cast(dec).alias("s3"),
+        F.sum(v * v * v * v).cast(dec).alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(x) for x in ("n", "s1", "s2", "s3", "s4"))
+    m2 = (n * s2 - s1 * s1).alias("m2")
+    m3 = (n * n * s3 - F.lit(3) * n * s1 * s2 + F.lit(2) * s1 * s1 * s1).alias(
+        "m3"
+    )
+    m4 = (
+        n * n * n * s4
+        - F.lit(4) * n * n * s1 * s3
+        + F.lit(6) * n * s1 * s1 * s2
+        - F.lit(3) * s1 * s1 * s1 * s1
+    ).alias("m4")
+    c = m.select("event_type", n.alias("nn"), m2, m3, m4)
+    m2d = F.col("m2").cast("double")
+    return c.select(
+        "event_type",
+        F.col("nn").cast("long").alias("n"),
+        (F.col("m3").cast("double") / (m2d * F.sqrt(m2d))).alias("skewness"),
+        (F.col("m4").cast("double") / (m2d * m2d) - 3).alias("kurtosis_excess"),
+    ).orderBy("event_type")
+
+
 # --- driver CORRECTNESS window ordering ---------------------------------------
 #
 # The external driver oracle-checks the FIRST 50 registered queries per

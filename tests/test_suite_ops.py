@@ -202,3 +202,37 @@ def test_stop_spark_is_idempotent_noop_without_session():
         # stop_spark in a scratch fork is covered by the no-op branch —
         # just pin that the helper exists and is callable
         assert callable(stop_spark)
+
+
+def test_skew_kurtosis_formulas_match_numpy(spark):
+    """a25's integer-moment expansions vs an independent float
+    computation: both engines share the same closed forms, so a
+    formula error would be invisible to the oracle — pin against
+    numpy's direct Σ(v−μ)ᵏ/n on the same quantized values."""
+    import math
+
+    import numpy as np
+
+    from biosample_enricher_spark.queries import QUERIES
+
+    rows = QUERIES["a25_skew_kurtosis"](spark, "/root/testdata/sf0.001").collect()
+    import duckdb
+
+    con = duckdb.connect()
+    vals = con.execute(
+        "SELECT event_type, CAST(floor(value) AS BIGINT) FROM "
+        "'/root/testdata/sf0.001/events.parquet'"
+    ).fetchall()
+    by_type: dict[str, list[int]] = {}
+    for et, v in vals:
+        by_type.setdefault(et, []).append(v)
+    assert rows, "no groups returned"
+    for r in rows:
+        v = np.array(by_type[r["event_type"]], dtype=np.float64)
+        mu = v.mean()
+        s2 = ((v - mu) ** 2).mean()
+        g1 = ((v - mu) ** 3).mean() / s2 ** 1.5
+        g2 = ((v - mu) ** 4).mean() / s2 ** 2 - 3
+        assert r["n"] == len(v)
+        assert math.isclose(r["skewness"], g1, rel_tol=1e-9)
+        assert math.isclose(r["kurtosis_excess"], g2, rel_tol=1e-9)
