@@ -783,6 +783,16 @@ def prefix_filtered_jaccard(
     discussion — which bounds those terms only by sacrificing
     exactness; prefix filtering keeps exactness).
 
+    **Identical-cluster caveat (same hazard class as LSH banding —
+    see ``exact_collapse``)**: byte-identical docs share EVERY
+    shingle including their whole prefix, so a cluster of n identical
+    docs still self-joins into O(n²) candidate pairs — prefix
+    filtering bounds hot *shingles*, not hot *documents*. At corpus
+    scale ALWAYS compose ``exact_collapse`` first (one linear groupBy)
+    and run this join on the representatives; membership expansion
+    recovers the full clusters. Pinned by
+    ``test_prefix_filtered_jaccard_composes_with_exact_collapse``.
+
     The threshold is the rational ``threshold_num/threshold_den`` so
     the acceptance predicate is pure-integer
     (``den·|A∩B| ≥ num·|A∪B|``) — no float boundary, bit-identical

@@ -3896,6 +3896,78 @@ def a25_skew_kurtosis(spark, sf_dir):
     ).orderBy("event_type")
 
 
+@q(
+    "streaming_sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                          > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS session_idx
+      FROM g
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, session_idx
+    ORDER BY user_id, session_start
+    """,
+)
+def streaming_sessionize(spark, sf_dir):
+    """§2.11 streaming tier, session windows, exactly-SQL-oracled:
+    Spark's built-in gap-merge ``session_window(ts, '30 minutes')``
+    over the incremental file source (watermarked, availableNow →
+    memory sink) — the STREAMING twin of the batch w5 sessionization.
+    Three independent implementations of the same semantics now
+    cross-check each other: w5's lag+running-sum (batch, SQL-oracled),
+    the batch session_window parity test
+    (test_manual_sessionize_matches_builtin_session_window), and this
+    streaming state-store path against the oracle's lag+cumsum form.
+    Complete output mode: at availableNow drain end the final
+    watermark sits 1 h behind max event time, so append mode would
+    hold back every session still inside the horizon — complete emits
+    the full state, which is exactly the batch ground truth.
+    ``session_end`` is the built-in's definition: last event + gap."""
+    schema = t(spark, sf_dir, "events").schema
+    stream = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.*")
+    agg = (
+        stream.select(
+            F.col("ts").cast("timestamp").alias("ts_i"), "user_id"
+        )
+        .withWatermark("ts_i", "1 hour")
+        .groupBy("user_id", F.session_window("ts_i", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    name = f"stream_sess_{sf_tag.replace('.', '_')}"
+    q_stream = (
+        agg.select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_stream.awaitTermination()
+    return spark.table(name).orderBy("user_id", "session_start")
+
+
 # --- driver CORRECTNESS window ordering ---------------------------------------
 #
 # The external driver oracle-checks the FIRST 50 registered queries per

@@ -966,3 +966,33 @@ def test_prefix_join_is_smaller_than_full_index(spark):
     assert cand_pairs < full_pairs
     # the hot "common pair" shingle alone would contribute 20*19/2 pairs
     assert cand_pairs < 20 * 19 // 2
+
+
+def test_prefix_filtered_jaccard_composes_with_exact_collapse(spark):
+    """Identical-cluster guard: prefix filtering bounds hot SHINGLES,
+    not hot DOCUMENTS (identical docs share their whole prefix), so
+    the corpus-scale composition is exact_collapse → prefix join on
+    representatives. A 300-doc identical cluster contributes ZERO
+    candidate pairs after collapse (one representative), while the
+    planted near-dup pair must still surface among the reps."""
+    from biosample_enricher_spark.operators.dedup import exact_collapse
+    from biosample_enricher_spark.operators.text import ascii_word_tokens
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    rows = [(i, base) for i in range(300)]  # identical cluster
+    rows += [(1000, near), (2000, "entirely different words over here now")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    reps, members = exact_collapse(docs, "doc_id", "text")
+    assert reps.count() == 3  # one per distinct text
+    pairs = D.prefix_filtered_jaccard(
+        reps, "doc_id",
+        D.token_bigrams(ascii_word_tokens(F.col("text"))),
+        threshold_num=3, threshold_den=5,
+    ).collect()
+    # exactly the rep-level near-dup pair; no intra-cluster pairs at all
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1000)}
+    # membership expansion still knows the full cluster
+    grp = members.where(F.col("rep_id") == 0)
+    assert grp.count() == 300 and grp.agg(F.max("group_n")).first()[0] == 300
