@@ -123,16 +123,18 @@ def exact_collapse(
 # --- 2. shingles + exact jaccard on candidates -------------------------------
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the canonical text.
+def distinct_ngrams(tokens: Column, n: int) -> Column:
+    """Distinct word n-gram shingles from a token-array Column.
 
-    Expression shape matters: the split-words array is LET-BOUND as a
-    lambda variable (``transform(array(words), ws -> ...)``) so every
+    Expression shape matters: the token array is LET-BOUND as a
+    lambda variable (``transform(array(tokens), ws -> ...)``) so every
     ``slice``/``size`` reads the materialized array. Referencing the
-    split expression directly inside the per-gram lambda would
-    re-normalize and re-split the text once per gram — O(words²) per
-    row, measured as a >50× slowdown at sf0.1 (no cross-subtree CSE
-    outside whole-stage codegen)."""
+    token expression directly inside the per-gram lambda would
+    re-derive it (re-normalize + re-split when it comes from a split)
+    once per gram — O(words²) per row, measured as a >50× slowdown at
+    sf0.1 (no cross-subtree CSE outside whole-stage codegen). The
+    single shared implementation keeps this subtle idiom in one place
+    for every shingle builder."""
 
     def grams(ws: Column) -> Column:
         k = F.size(ws) - (n - 1)
@@ -146,8 +148,13 @@ def word_shingles(text: Column, n: int = 3) -> Column:
             ).otherwise(F.array().cast("array<string>"))
         )
 
-    words = F.split(normalize_for_fingerprint(text), " ")
-    return F.get(F.transform(F.array(words), grams), 0)
+    return F.get(F.transform(F.array(tokens), grams), 0)
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the canonical text (see
+    ``distinct_ngrams`` for the let-binding discipline)."""
+    return distinct_ngrams(F.split(normalize_for_fingerprint(text), " "), n)
 
 
 def jaccard_candidates(
@@ -733,24 +740,54 @@ def connected_components(
 
 
 def token_bigrams(tokens: Column) -> Column:
-    """Distinct word-bigram shingles from a token array. Same
-    let-binding discipline as ``word_shingles`` (the token array is
-    materialized once as a lambda variable; inlining it would re-split
-    per gram — the measured O(words²) trap documented there)."""
+    """Distinct word-bigram shingles from a token array — the n=2 case
+    of the shared ``distinct_ngrams`` builder."""
+    return distinct_ngrams(tokens, 2)
 
-    def grams(ws: Column) -> Column:
-        k = F.size(ws) - 1
-        return F.array_distinct(
-            F.when(
-                k >= 1,
-                F.transform(
-                    F.sequence(F.lit(1), k),
-                    lambda i: F.concat_ws(" ", F.slice(ws, i, 2)),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
+
+def prefix_candidate_pairs(
+    index: DataFrame, sizes: DataFrame, num: int, den: int
+) -> DataFrame:
+    """The candidate stage of ``prefix_filtered_jaccard``, exposed so
+    the scale claim (prefix join ≪ full index join) tests the REAL
+    construction: from an exploded ``(doc_id, shingle)`` index and a
+    ``(doc_id, n_sh)`` size table, rank each doc's shingles by the
+    global (document-frequency asc, shingle asc) order, keep the
+    ppjoin prefix of length ``n_sh − ceil(num·n_sh/den) + 1``, and
+    self-join the prefixes. Returns distinct ``(id_a, id_b)`` with
+    ``id_a < id_b`` — a lossless superset of all pairs with Jaccard ≥
+    num/den."""
+    docfreq = index.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = (
+        index.join(docfreq, "shingle")
+        .join(sizes, "doc_id")
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("_df", "shingle")
+            ),
         )
-
-    return F.get(F.transform(F.array(tokens), grams), 0)
+    )
+    # prefix_len = n_sh - ceil(num*n_sh/den) + 1, all-integer ceil.
+    prefix_len = (
+        F.col("n_sh")
+        - F.floor((F.lit(num) * F.col("n_sh") + F.lit(den - 1)) / F.lit(den))
+        + F.lit(1)
+    )
+    prefix = ranked.where(F.col("_rn") <= prefix_len).select("doc_id", "shingle")
+    pa = prefix.alias("pa")
+    pb = prefix.alias("pb")
+    return (
+        pa.join(
+            pb,
+            (F.col("pa.shingle") == F.col("pb.shingle"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .select(
+            F.col("pa.doc_id").alias("id_a"), F.col("pb.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
 
 
 def prefix_filtered_jaccard(
@@ -812,37 +849,7 @@ def prefix_filtered_jaccard(
     )
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
     index = sh.select("doc_id", F.explode("sh").alias("shingle"))
-    docfreq = index.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-    ranked = (
-        index.join(docfreq, "shingle")
-        .join(sizes, "doc_id")
-        .withColumn(
-            "_rn",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy("_df", "shingle")
-            ),
-        )
-    )
-    # prefix_len = n_sh - ceil(num*n_sh/den) + 1, all-integer ceil.
-    prefix_len = (
-        F.col("n_sh")
-        - F.floor((F.lit(num) * F.col("n_sh") + F.lit(den - 1)) / F.lit(den))
-        + F.lit(1)
-    )
-    prefix = ranked.where(F.col("_rn") <= prefix_len).select("doc_id", "shingle")
-    pa = prefix.alias("pa")
-    pb = prefix.alias("pb")
-    cand = (
-        pa.join(
-            pb,
-            (F.col("pa.shingle") == F.col("pb.shingle"))
-            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
-        )
-        .select(
-            F.col("pa.doc_id").alias("id_a"), F.col("pb.doc_id").alias("id_b")
-        )
-        .distinct()
-    )
+    cand = prefix_candidate_pairs(index, sizes, num, den)
     ia = cand.join(
         index.select(F.col("doc_id").alias("id_a"), "shingle"), "id_a"
     )

@@ -378,13 +378,15 @@ def emd_from_histograms(
     (``/root/reference/biosample_enricher/metrics/score.py``) — EMD is
     the additive counterpart over the same histogram inputs.
 
-    Cross-engine exactness: the statistic is assembled as ONE integer
-    numerator ``sum(|ca*nb - cb*na| * gap)`` (ca/cb integer cumulative
-    counts, na/nb integer totals — an order-independent BIGINT sum) and
-    divided by ``na*nb`` exactly once, so Spark and any ANSI-SQL oracle
-    produce bit-identical doubles. The pass verdict is likewise the
-    integer predicate ``den*num <= threshold_num*na*nb`` — no float
-    boundary. Window note: the cumsum window runs over the tiny
+    Cross-engine exactness: the statistic is assembled as ONE exact
+    integer numerator ``sum(|ca*nb - cb*na| * gap)`` (ca/cb integer
+    cumulative counts, na/nb integer totals — an order-independent
+    sum, carried in DECIMAL(38,0) because ca·nb exceeds int64 once
+    both histograms pass ~3×10⁹ rows; oracle twin: HUGEINT) and
+    divided by ``na*nb`` exactly once, so Spark and any ANSI-SQL
+    oracle produce bit-identical doubles. The pass verdict is
+    likewise the exact-integer predicate
+    ``den*num <= threshold_num*na*nb`` — no float boundary. Window note: the cumsum window runs over the tiny
     aggregated histogram (|buckets| rows), not the corpus — the same
     single-partition-window contract as ``tv_from_histograms``.
 
@@ -414,30 +416,44 @@ def emd_from_histograms(
         F.sum("n_base").over(wall).alias("na"),
         F.sum("n_cur").over(wall).alias("nb"),
     )
+    # ca·nb products overflow int64 once both sides exceed ~3×10⁹ rows
+    # (exactly the 100 TB tier this targets), and Spark's non-ANSI long
+    # multiply would wrap SILENTLY while a HUGEINT-summing SQL oracle
+    # would not — so the numerator and the na·nb denominator are
+    # computed in exact DECIMAL(38,0) (oracle twin: HUGEINT). Safe
+    # while na·nb·max_gap·|buckets| < 10³⁸; the wide-int→double
+    # conversions below are round-to-nearest in both engines and the
+    # final ops correctly-rounded IEEE, so bit-identity survives the
+    # widening.
+    dec = "decimal(38,0)"
     tot = terms.groupBy().agg(
         F.coalesce(
             F.sum(
-                F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
+                F.abs(
+                    F.col("ca").cast(dec) * F.col("nb")
+                    - F.col("cb").cast(dec) * F.col("na")
+                )
                 * F.col("gap")
             ),
-            F.lit(0),
-        ).cast("long").alias("num"),
+            F.lit(0).cast(dec),
+        ).alias("num"),
         F.coalesce(F.max("na"), F.lit(0)).cast("long").alias("na"),
         F.coalesce(F.max("nb"), F.lit(0)).cast("long").alias("nb"),
     )
+    denom = F.col("na").cast(dec) * F.col("nb")
     emd = (
         F.when((F.col("na") == 0) & (F.col("nb") == 0), F.lit(0.0))
         .when((F.col("na") == 0) | (F.col("nb") == 0), F.lit(None).cast("double"))
         .otherwise(
-            F.col("num") / (F.col("na") * F.col("nb"))
+            F.col("num").cast("double") / denom.cast("double")
         )
     )
     passed = (
         F.when((F.col("na") == 0) & (F.col("nb") == 0), F.lit(True))
         .when((F.col("na") == 0) | (F.col("nb") == 0), F.lit(False))
         .otherwise(
-            F.lit(int(threshold_den)) * F.col("num")
-            <= F.lit(int(threshold_num)) * F.col("na") * F.col("nb")
+            F.lit(int(threshold_den)).cast(dec) * F.col("num")
+            <= F.lit(int(threshold_num)).cast(dec) * denom
         )
     )
     return tot.select(

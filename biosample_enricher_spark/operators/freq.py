@@ -47,8 +47,11 @@ def mg_partition_candidates(
     """Per-partition Misra-Gries survivors (see module docstring for
     the superset guarantee). Vectorized: per-batch ``value_counts``
     folded into a running Series; the per-item classic MG loop never
-    runs. Returns a distinct single-column ``token`` frame of at most
-    ``cap`` tokens per input partition."""
+    runs. Returns a single-column ``token`` frame of at most ``cap``
+    tokens per input partition — ZERO shuffle. Tokens may repeat
+    across partitions; dedup happens for free wherever the frame is
+    consumed (the broadcast hash relation in ``heavy_hitters`` hashes
+    keys uniquely), so no ``.distinct()`` shuffle is spent here."""
 
     def per_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counts: pd.Series | None = None
@@ -68,11 +71,15 @@ def mg_partition_candidates(
         if counts is not None and len(counts):
             yield pd.DataFrame({"token": counts.index.astype(str)})
 
-    return tokens.mapInPandas(per_partition, "token string").distinct()
+    return tokens.mapInPandas(per_partition, "token string")
 
 
 def heavy_hitters(
-    tokens: DataFrame, token_col: str = "token", k: int = 50, cap: int = 4096
+    tokens: DataFrame,
+    token_col: str = "token",
+    k: int = 50,
+    cap: int = 4096,
+    broadcast_candidates: bool = True,
 ) -> DataFrame:
     """Exact global heavy hitters: tokens with ``count·k > N`` over a
     single-column token frame, via the two-pass MG candidate/verify
@@ -80,16 +87,30 @@ def heavy_hitters(
     candidate-superset guarantee. Returns
     ``(token, cnt, n_total, share)`` — ``share`` is one exact integer
     division, so verdicts and values are bit-identical to any ANSI-SQL
-    oracle's plain ``GROUP BY ... HAVING cnt*k > N``."""
+    oracle's plain ``GROUP BY ... HAVING cnt*k > N``.
+
+    **Broadcast bound**: the candidate relation is at most
+    ``cap × input_partitions`` tokens (duplicates across partitions
+    collapse in the broadcast hash relation), so the forced broadcast
+    is safe while that product stays driver/executor-sized — e.g.
+    cap 4096 × 10⁴ partitions ≈ 4×10⁷ keys is the practical ceiling.
+    On a 100 TB corpus with ~10⁵ input partitions either raise the
+    per-partition trim (smaller cap) or pass
+    ``broadcast_candidates=False`` to fall back to a shuffled semi
+    join — same result, bounded memory."""
     if cap < k:
         raise ValueError(f"cap ({cap}) must be >= k ({k}) for the superset bound")
     toks = tokens.select(F.col(token_col).alias("token")).where(
         F.col("token").isNotNull()
     )
     cand = mg_partition_candidates(toks, "token", cap)
+    if broadcast_candidates:
+        cand = F.broadcast(cand)
+    else:
+        cand = cand.distinct()
     n_total = toks.agg(F.count(F.lit(1)).alias("n_total"))
     exact = (
-        toks.join(F.broadcast(cand), "token", "left_semi")
+        toks.join(cand, "token", "left_semi")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

@@ -3485,15 +3485,18 @@ def p12_unpivot(spark, sf_dir):
              lead(bucket) OVER (ORDER BY bucket) AS nxt
       FROM h
     ), agg AS (
-      SELECT CAST(sum(abs(ca * tot.nb - cb * tot.na)
-                   * (COALESCE(nxt, bucket) - bucket)) AS BIGINT) AS num
+      SELECT sum(abs(CAST(ca AS HUGEINT) * tot.nb
+                     - CAST(cb AS HUGEINT) * tot.na)
+                 * (COALESCE(nxt, bucket) - bucket)) AS num
       FROM c, tot
     )
     SELECT 'drift_n_chars_emd' AS constraint_id,
-           CAST(num AS DOUBLE) / (tot.na * tot.nb) AS emd_buckets,
+           CAST(num AS DOUBLE)
+             / CAST(CAST(tot.na AS HUGEINT) * tot.nb AS DOUBLE)
+             AS emd_buckets,
            tot.na AS n_base, tot.nb AS n_cur,
            0.5 AS threshold,
-           2 * num <= tot.na * tot.nb AS passed
+           2 * num <= CAST(tot.na AS HUGEINT) * tot.nb AS passed
     FROM agg, tot
     """,
 )
@@ -3502,9 +3505,10 @@ def drift_emd_nchars(spark, sf_dir):
     even/odd-doc_id n_chars histograms (same bucketing as
     drift_ks_nchars), in bucket-width units, gap-weighted across
     unobserved buckets. Complements KS (max deviation) with total
-    transported mass. Exact cross-engine equality: one BIGINT
-    numerator sum(|ca·nb − cb·na|·gap) — order-independent — divided
-    once; verdict is the integer predicate 2·num ≤ na·nb
+    transported mass. Exact cross-engine equality: one exact-integer
+    numerator sum(|ca·nb − cb·na|·gap) — order-independent, carried
+    in DECIMAL(38,0)/HUGEINT past the int64 range — divided once;
+    verdict is the exact-integer predicate 2·num ≤ na·nb
     (operators/drift.py emd_from_histograms)."""
     from .operators.drift import emd_from_histograms
 

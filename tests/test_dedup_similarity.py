@@ -943,26 +943,10 @@ def test_prefix_join_is_smaller_than_full_index(spark):
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id"), F.col("b.doc_id")).distinct().count()
     )
-    # candidate pairs actually compared by the prefix-filtered path:
-    # rebuild the prefix join exactly as the operator does.
+    # candidate pairs actually compared by the prefix-filtered path —
+    # the operator's OWN candidate stage, not a re-implementation.
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
-    docfreq = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-    from pyspark.sql import Window
-    ranked = (
-        idx.join(docfreq, "shingle").join(sizes, "doc_id")
-        .withColumn("_rn", F.row_number().over(
-            Window.partitionBy("doc_id").orderBy("_df", "shingle")))
-    )
-    plen = (F.col("n_sh")
-            - F.floor((F.lit(3) * F.col("n_sh") + F.lit(4)) / F.lit(5))
-            + F.lit(1))
-    prefix = ranked.where(F.col("_rn") <= plen).select("doc_id", "shingle")
-    pa, pb = prefix.alias("pa"), prefix.alias("pb")
-    cand_pairs = (
-        pa.join(pb, (F.col("pa.shingle") == F.col("pb.shingle"))
-                & (F.col("pa.doc_id") < F.col("pb.doc_id")))
-        .select(F.col("pa.doc_id"), F.col("pb.doc_id")).distinct().count()
-    )
+    cand_pairs = D.prefix_candidate_pairs(idx, sizes, 3, 5).count()
     assert cand_pairs < full_pairs
     # the hot "common pair" shingle alone would contribute 20*19/2 pairs
     assert cand_pairs < 20 * 19 // 2

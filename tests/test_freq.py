@@ -83,3 +83,20 @@ def test_heavy_hitters_share_is_exact_division(spark):
     assert rows["x"]["cnt"] == 30
     assert rows["x"]["n_total"] == 40
     assert rows["x"]["share"] == 30 / 40
+
+
+def test_heavy_hitters_shuffled_semi_join_path_matches(spark):
+    """broadcast_candidates=False (the extreme-partition-count
+    fallback) must produce the identical result."""
+    toks = _skewed_tokens(spark)
+    a = {
+        (r["token"], r["cnt"], r["n_total"])
+        for r in heavy_hitters(toks, "token", k=50, cap=64).collect()
+    }
+    b = {
+        (r["token"], r["cnt"], r["n_total"])
+        for r in heavy_hitters(
+            toks, "token", k=50, cap=64, broadcast_candidates=False
+        ).collect()
+    }
+    assert a == b and len(a) == 8
