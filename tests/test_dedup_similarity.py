@@ -980,3 +980,29 @@ def test_prefix_filtered_jaccard_composes_with_exact_collapse(spark):
     # membership expansion still knows the full cluster
     grp = members.where(F.col("rep_id") == 0)
     assert grp.count() == 300 and grp.agg(F.max("group_n")).first()[0] == 300
+
+
+def test_prefix_positional_filter_lossless_on_random_worst_case(spark):
+    """Randomized losslessness check on the WORST case for prefix
+    filtering — a tiny vocabulary where nearly all docs share
+    shingles — at several thresholds: prefix+positional candidates
+    must reproduce the full inverted-index join exactly."""
+    import random
+
+    from biosample_enricher_spark.operators.text import ascii_word_tokens
+
+    rng = random.Random(1234)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 12))))
+        for i in range(80)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = D.token_bigrams(ascii_word_tokens(F.col("text")))
+    for num, den in [(1, 2), (3, 5), (4, 5)]:
+        got = {
+            (r["id_a"], r["id_b"]): (r["n_inter"], r["n_a"], r["n_b"])
+            for r in D.prefix_filtered_jaccard(docs, "doc_id", sh, num, den).collect()
+        }
+        exp = _full_index_pairs(spark, docs, num, den)
+        assert got == exp, f"threshold {num}/{den}: {len(got)} vs {len(exp)}"
