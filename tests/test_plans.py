@@ -303,3 +303,12 @@ def test_heavy_hitters_two_pass_shape(spark):
     assert "LeftSemi" in p and "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
     assert p.count("BroadcastNestedLoopJoin") <= 1  # 1-row n_total only
+
+
+def test_sequence_gaps_intra_window_is_block_partitioned(spark):
+    """a26: the per-row gap window must be partitioned by the id block
+    (parallel), never a single-partition global window over the data;
+    the only unpartitioned window runs on the |blocks|-row aggregate."""
+    p = plan(QUERIES["a26_sequence_gaps"](spark, SF))
+    assert "windowspecdefinition(_blk" in p
+    assert "Exchange hashpartitioning(_blk" in p

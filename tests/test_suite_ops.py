@@ -236,3 +236,51 @@ def test_skew_kurtosis_formulas_match_numpy(spark):
         assert r["n"] == len(v)
         assert math.isclose(r["skewness"], g1, rel_tol=1e-9)
         assert math.isclose(r["kurtosis_excess"], g2, rel_tol=1e-9)
+
+
+def test_sequence_gaps_two_level_matches_global_window(spark):
+    """a26's scalable block-partitioned gap detection vs the naive
+    single-window form, on random id sets with multi-block holes
+    (including wholly-missing blocks)."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rng = random.Random(99)
+    ids = sorted(rng.sample(range(0, 60000), 2500))
+    df = spark.createDataFrame([(i,) for i in ids], "event_id long")
+
+    # naive: one global-order window
+    w = Window.partitionBy().orderBy("event_id")
+    naive = {
+        (r["gs"], r["ge"])
+        for r in df.withColumn("nxt", F.lead("event_id").over(w))
+        .where(F.col("nxt") - F.col("event_id") > 1)
+        .select(
+            (F.col("event_id") + 1).alias("gs"), (F.col("nxt") - 1).alias("ge")
+        )
+        .collect()
+    }
+
+    # engine form: re-run a26's construction over this frame
+    blk = df.withColumn("_blk", F.floor(F.col("event_id") / 4096))
+    wb = Window.partitionBy("_blk").orderBy("event_id")
+    intra = (
+        blk.withColumn("nxt", F.lead("event_id").over(wb))
+        .where(F.col("nxt") - F.col("event_id") > 1)
+        .select(
+            (F.col("event_id") + 1).alias("gs"), (F.col("nxt") - 1).alias("ge")
+        )
+    )
+    stats = blk.groupBy("_blk").agg(
+        F.min("event_id").alias("_mn"), F.max("event_id").alias("_mx")
+    )
+    wall = Window.partitionBy().orderBy("_blk")
+    boundary = (
+        stats.withColumn("_nm", F.lead("_mn").over(wall))
+        .where(F.col("_nm") - F.col("_mx") > 1)
+        .select((F.col("_mx") + 1).alias("gs"), (F.col("_nm") - 1).alias("ge"))
+    )
+    got = {(r["gs"], r["ge"]) for r in intra.unionByName(boundary).collect()}
+    assert got == naive and len(naive) > 500
