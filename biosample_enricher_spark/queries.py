@@ -4087,6 +4087,92 @@ def a27_benford_digits(spark, sf_dir):
     )
 
 
+@q(
+    "a28_exact_percentiles",
+    """
+    WITH qs AS (
+      SELECT lang, quantile_cont(n_chars, [0.25, 0.5, 0.75, 0.95]) AS q
+      FROM documents GROUP BY lang
+    )
+    SELECT lang, CAST(0.25 AS DOUBLE) AS p, round(q[1], 9) AS value FROM qs
+    UNION ALL SELECT lang, CAST(0.5 AS DOUBLE), round(q[2], 9) FROM qs
+    UNION ALL SELECT lang, CAST(0.75 AS DOUBLE), round(q[3], 9) FROM qs
+    UNION ALL SELECT lang, CAST(0.95 AS DOUBLE), round(q[4], 9) FROM qs
+    ORDER BY lang, p
+    """,
+)
+def a28_exact_percentiles(spark, sf_dir):
+    """A28: EXACT grouped percentiles (linear interpolation at
+    p·(n−1)) — the validation-tier complement to a16's mergeable
+    approx_percentile sketch: exact values for audit/small groups,
+    the sketch for the 100-TB full-corpus path (an exact percentile
+    is a per-group sort; the engine makes the trade explicit by
+    shipping both tiers). Interpolated values are rounded 9dp on both
+    sides — the engines factor (1−f)·a + f·b differently, a 1-ulp
+    surface, while the rank arithmetic itself is exact."""
+    d = t(spark, sf_dir, "documents")
+    qarr = d.groupBy("lang").agg(
+        F.expr(
+            "percentile(n_chars, array(0.25D, 0.5D, 0.75D, 0.95D))"
+        ).alias("q")
+    )
+    ps = F.array(*[F.lit(p) for p in (0.25, 0.5, 0.75, 0.95)])
+    return (
+        qarr.select(
+            "lang",
+            F.posexplode(F.arrays_zip(ps.alias("p"), F.col("q").alias("v"))),
+        )
+        .select(
+            "lang",
+            F.col("col.p").alias("p"),
+            F.round(F.col("col.v"), 9).alias("value"),
+        )
+        .orderBy("lang", "p")
+    )
+
+
+@q(
+    "u8_exists_subquery",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 300000)
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey
+                        AND o2.o_orderstatus = 'F'
+                        AND o2.o_totalprice < 50000)
+    ORDER BY c.c_custkey
+    """,
+)
+def u8_exists_subquery(spark, sf_dir):
+    """U8: correlated EXISTS / NOT EXISTS through the SQL surface —
+    the engine's ``spark.sql`` entry point, exercising Catalyst's
+    subquery decorrelation: both subqueries rewrite to hash joins
+    (left-semi + left-anti; plan-pinned — no per-row subquery
+    execution survives). Every other registry query uses the
+    DataFrame API; this one pins that the SQL text a reference user
+    would write verbatim runs on the same engine with the same
+    result."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("u8_customer")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("u8_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name
+        FROM u8_customer c
+        WHERE EXISTS (SELECT 1 FROM u8_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+          AND NOT EXISTS (SELECT 1 FROM u8_orders o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderstatus = 'F'
+                            AND o2.o_totalprice < 50000)
+        ORDER BY c.c_custkey
+        """
+    )
+
+
 # --- driver CORRECTNESS window ordering ---------------------------------------
 #
 # The external driver oracle-checks the FIRST 50 registered queries per

@@ -103,16 +103,16 @@ def test_driver_window_ordering():
 
 
 def test_registry_counts_match_docs():
-    """README and WINDOW_COVERAGE.md state 115 queries / 99 oracled
-    (eleven round-5b additions — drift_emd_nchars, w8_rank_variants,
+    """README and WINDOW_COVERAGE.md state 117 queries / 101 oracled
+    (thirteen round-5b additions — drift_emd_nchars, w8_rank_variants,
     a22_entropy_profile, a23_outlier_zscore, dedup_ngram_jaccard,
     a24_heavy_hitters, w9_forward_fill, a25_skew_kurtosis,
-    streaming_sessionize, a26_sequence_gaps, a27_benford_digits — all
-    SQL-oracled); pin the numbers here so
+    streaming_sessionize, a26_sequence_gaps, a27_benford_digits,
+    a28_exact_percentiles, u8_exists_subquery — all SQL-oracled); pin the numbers here so
     the docs cannot silently drift from the registry again (r3
     verdict item #7)."""
-    assert len(QUERIES) == 115
-    assert len(ORACLES) == 99
+    assert len(QUERIES) == 117
+    assert len(ORACLES) == 101
 
 
 def test_manual_sessionize_matches_builtin_session_window(spark):

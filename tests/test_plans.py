@@ -312,3 +312,13 @@ def test_sequence_gaps_intra_window_is_block_partitioned(spark):
     p = plan(QUERIES["a26_sequence_gaps"](spark, SF))
     assert "windowspecdefinition(_blk" in p
     assert "Exchange hashpartitioning(_blk" in p
+
+
+def test_exists_subqueries_decorrelate_to_hash_joins(spark):
+    """u8: Catalyst must rewrite the correlated EXISTS / NOT EXISTS
+    pair to left-semi + left-anti hash joins — no per-row subquery
+    execution, no nested-loop join on the correlation key."""
+    p = plan(QUERIES["u8_exists_subquery"](spark, SF))
+    assert "LeftSemi" in p and "LeftAnti" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
