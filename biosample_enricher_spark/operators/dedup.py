@@ -123,8 +123,9 @@ def exact_collapse(
 # --- 2. shingles + exact jaccard on candidates -------------------------------
 
 
-def distinct_ngrams(tokens: Column, n: int) -> Column:
-    """Distinct word n-gram shingles from a token-array Column.
+def _ngrams(tokens: Column, n: int, distinct: bool) -> Column:
+    """Word n-gram shingles from a token-array Column (all occurrences,
+    or the distinct set when ``distinct``).
 
     Expression shape matters: the token array is LET-BOUND as a
     lambda variable (``transform(array(tokens), ws -> ...)``) so every
@@ -138,17 +139,28 @@ def distinct_ngrams(tokens: Column, n: int) -> Column:
 
     def grams(ws: Column) -> Column:
         k = F.size(ws) - (n - 1)
-        return F.array_distinct(
-            F.when(
-                k >= 1,
-                F.transform(
-                    F.sequence(F.lit(1), k),
-                    lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        )
+        arr = F.when(
+            k >= 1,
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.array_distinct(arr) if distinct else arr
 
     return F.get(F.transform(F.array(tokens), grams), 0)
+
+
+def distinct_ngrams(tokens: Column, n: int) -> Column:
+    """Distinct word n-gram shingles (set semantics — the Jaccard /
+    MinHash input)."""
+    return _ngrams(tokens, n, distinct=True)
+
+
+def all_ngrams(tokens: Column, n: int) -> Column:
+    """Every n-gram occurrence in order (bag semantics — repetition
+    profiling needs the duplicates the distinct form erases)."""
+    return _ngrams(tokens, n, distinct=False)
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:

@@ -1,0 +1,107 @@
+"""Sequence packing + snapshot-fingerprint operators (r5c).
+
+``chunk_pack`` maps documents onto fixed-width training chunks by a
+scalable two-level prefix sum; ``table_fingerprint`` reduces a table to
+an order-independent checksum row for snapshot reconciliation. Both are
+pure Column-expression plans (JVM-side, no Python in the hot path) and
+both have exact DuckDB oracles in the driver registry
+(``queries.py x9_chunk_pack / v4_table_fingerprint``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def chunk_pack(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    tokens_col: str,
+    chunk_size: int = 512,
+    block: int = 128,
+) -> DataFrame:
+    """Assign each row to the fixed-width token chunks it occupies when
+    rows are concatenated per ``group_col`` in ``id_col`` order.
+
+    Returns ``(id_col, group_col, tokens_col, first_chunk, last_chunk,
+    n_chunks)`` for rows with a positive token count (zero-token rows
+    occupy no chunk).
+
+    The textbook form is one running sum per group — which serializes
+    each group into a single partition. This is the two-level form
+    instead (same shape as the a26 sequence-gap audit): intra-block
+    cumsums over ``(group, floor(id/block))`` windows run fully
+    parallel, and block offsets come from a window over the tiny
+    per-block totals frame (|blocks| rows), broadcast back. The result
+    is independent of ``block`` and of input partitioning; integer
+    arithmetic throughout.
+    """
+    d = df.select(id_col, group_col, tokens_col).where(F.col(tokens_col) > 0)
+    blk = d.withColumn("_blk", F.floor(F.col(id_col) / block))
+    w_intra = (
+        W.partitionBy(group_col, "_blk")
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    intra = blk.withColumn(
+        "_icum", F.sum(tokens_col).over(w_intra) - F.col(tokens_col)
+    )
+    blk_tot = blk.groupBy(group_col, "_blk").agg(
+        F.sum(tokens_col).alias("_bt")
+    )
+    w_blk = (
+        W.partitionBy(group_col)
+        .orderBy("_blk")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offs = blk_tot.withColumn(
+        "_boff", F.coalesce(F.sum("_bt").over(w_blk), F.lit(0))
+    ).select(group_col, "_blk", "_boff")
+    start = F.col("_boff") + F.col("_icum")
+    first = F.floor(start / chunk_size)
+    last = F.floor((start + F.col(tokens_col) - 1) / chunk_size)
+    return intra.join(F.broadcast(offs), [group_col, "_blk"]).select(
+        id_col,
+        group_col,
+        tokens_col,
+        first.cast("long").alias("first_chunk"),
+        last.cast("long").alias("last_chunk"),
+        (last - first + 1).cast("long").alias("n_chunks"),
+    )
+
+
+def table_fingerprint(df: DataFrame, canon: Column, name: str) -> DataFrame:
+    """Order-independent table checksum: md5 of the canonical row form
+    reduced by commutative aggregates (count + sum + bit_xor of two
+    32-bit hash chunks) → one row ``(table_name, n_rows, sum_lo,
+    xor_lo, xor_hi)``.
+
+    Two snapshots compare for multiset equality without sorting either
+    side. The xor columns are overflow-free at any scale; the sum
+    column wraps int64 past ~4×10⁹ rows (Spark wraps silently, ANSI
+    engines promote) — it adds multiset sensitivity (xor alone cancels
+    rows with even multiplicity) and is the audit-scale tier. One
+    map-side-combined aggregate; no shuffle beyond the final reduce.
+    """
+    h = F.md5(canon)
+    c1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    c2 = F.conv(F.substring(h, 17, 8), 16, 10).cast("long")
+    return (
+        df.select(c1.alias("c1"), c2.alias("c2"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("c1").alias("sum_lo"),
+            F.expr("bit_xor(c1)").alias("xor_lo"),
+            F.expr("bit_xor(c2)").alias("xor_hi"),
+        )
+        .select(
+            F.lit(name).alias("table_name"),
+            "n_rows",
+            "sum_lo",
+            "xor_lo",
+            "xor_hi",
+        )
+    )

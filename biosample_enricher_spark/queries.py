@@ -4173,6 +4173,620 @@ def u8_exists_subquery(spark, sf_dir):
     )
 
 
+# =====================================================================
+# §2.14 (r5c) validation-suite cross-table checks
+# =====================================================================
+
+@q(
+    "v1_order_reconciliation",
+    """
+    WITH li AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                            * (1.0 + l_tax) * 100.0) AS BIGINT)) AS BIGINT)
+               AS computed_cents
+      FROM lineitem GROUP BY l_orderkey
+    ), per_order AS (
+      SELECT o.o_orderpriority,
+             coalesce(li.computed_cents, 0)
+               - CAST(floor(o.o_totalprice * 100.0) AS BIGINT) AS diff
+      FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(*) FILTER (WHERE diff <> 0) AS BIGINT) AS n_mismatch,
+           CAST(sum(abs(diff)) AS BIGINT) AS sum_abs_diff_cents,
+           CAST(max(abs(diff)) AS BIGINT) AS max_abs_diff_cents
+    FROM per_order GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def v1_order_reconciliation(spark, sf_dir):
+    """V1: cross-table reconciliation — recompute each order's total
+    from its line items and report the drift against the stored
+    header total, the 'do the rollup tables still agree with the
+    facts' check every warehouse validation suite runs (reference
+    analog: the completeness/consistency scoring over fetched vs
+    derived fields, models.py:86-112). All arithmetic is exact
+    BIGINT cents: floor(double-product × 100) is the same IEEE
+    double then an exact floor in both engines, so mismatch verdicts
+    have no float boundary. Scale shape: lineitem pre-aggregates to
+    one row per order key (map-side partial agg) BEFORE the join, so
+    the orders join is key-to-key; the priority rollup is 5 groups."""
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice")
+                    * (F.lit(1.0) - F.col("l_discount"))
+                    * (F.lit(1.0) + F.col("l_tax"))
+                    * F.lit(100.0)
+                ).cast("long")
+            ).alias("computed_cents")
+        )
+    )
+    o = t(spark, sf_dir, "orders")
+    diff = F.coalesce(F.col("computed_cents"), F.lit(0)) - F.floor(
+        F.col("o_totalprice") * F.lit(100.0)
+    ).cast("long")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left")
+        .select("o_orderpriority", diff.alias("diff"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count(F.when(F.col("diff") != 0, 1)).alias("n_mismatch"),
+            F.sum(F.abs("diff")).alias("sum_abs_diff_cents"),
+            F.max(F.abs("diff")).alias("max_abs_diff_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@q(
+    "v2_temporal_integrity",
+    """
+    SELECT l.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (
+             WHERE CAST(l.l_shipdate AS DATE) < CAST(o.o_orderdate AS DATE)
+           ) AS BIGINT) AS n_violations,
+           max(CASE WHEN CAST(l.l_shipdate AS DATE) < CAST(o.o_orderdate AS DATE)
+                    THEN datediff('day', CAST(l.l_shipdate AS DATE),
+                                  CAST(o.o_orderdate AS DATE)) END)
+             AS max_gap_days,
+           CAST(count(*) FILTER (
+             WHERE CAST(l.l_shipdate AS DATE) < CAST(o.o_orderdate AS DATE)
+           ) AS DOUBLE) / count(*) AS violation_rate
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY l.l_returnflag ORDER BY l.l_returnflag
+    """,
+)
+def v2_temporal_integrity(spark, sf_dir):
+    """V2: temporal-integrity audit — events that precede their own
+    cause (a line item shipped before its order was placed), the
+    timestamp-sanity check of the validation tier (reference analog:
+    the collection-date plausibility checks, models.py:129-141).
+    Verdicts are exact date comparisons; the gap is integer days;
+    violation_rate is one exact integer division. Scale shape: a
+    key-to-key shuffle join (both sides partitioned on order key)
+    feeding a 3-group rollup with map-side partials."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", F.col("l_shipdate").cast("date").alias("_sd")
+    )
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("_od")
+    )
+    viol = F.col("_sd") < F.col("_od")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(viol, 1)).alias("n_violations"),
+            F.max(F.when(viol, F.datediff("_od", "_sd")))
+            .cast("long")
+            .alias("max_gap_days"),
+            (
+                F.count(F.when(viol, 1)).cast("double") / F.count(F.lit(1))
+            ).alias("violation_rate"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@q(
+    "v3_key_skew_profile",
+    """
+    WITH c AS (
+      SELECT l_orderkey, CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY l_orderkey
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(cnt) AS BIGINT) AS n_rows, max(cnt) AS max_cnt
+      FROM c
+    )
+    SELECT t.l_orderkey, t.cnt, s.n_keys, s.n_rows, s.max_cnt,
+           CAST(s.max_cnt * s.n_keys AS DOUBLE) / s.n_rows AS skew_ratio
+    FROM (SELECT * FROM c ORDER BY cnt DESC, l_orderkey LIMIT 10) t, s
+    ORDER BY t.cnt DESC, t.l_orderkey
+    """,
+)
+def v3_key_skew_profile(spark, sf_dir):
+    """V3: join-key skew profiler — per-key fan-out counts on the
+    join key, the top-10 heaviest keys, and the max/mean skew ratio
+    (max_cnt · n_keys / n_rows; 1.0 = perfectly uniform). This is
+    the pre-flight check that decides salting/AQE-skew-join hints
+    before a big join ships. All counts exact BIGINT; the ratio is
+    one exact division. Scale shape: map-side-combined groupBy on
+    the key, a TakeOrdered top-10 (no global sort), and a 1-row
+    summary broadcast back."""
+    c = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    s = c.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    top = c.orderBy(F.desc("cnt"), "l_orderkey").limit(10)
+    return (
+        top.crossJoin(F.broadcast(s))
+        .select(
+            "l_orderkey",
+            "cnt",
+            "n_keys",
+            "n_rows",
+            "max_cnt",
+            (
+                (F.col("max_cnt") * F.col("n_keys")).cast("double")
+                / F.col("n_rows")
+            ).alias("skew_ratio"),
+        )
+        .orderBy(F.desc("cnt"), "l_orderkey")
+    )
+
+
+def _fp_chunks_sql(canon: str) -> str:
+    """DuckDB twin of the md5→two-BIGINT-chunk split (hex→integer via
+    the UBIGINT cast form mix_corpus_weighted pinned cross-engine)."""
+    return (
+        f"SELECT CAST(CAST('0x' || substring(md5({canon}), 1, 8) AS UBIGINT)"
+        f"   AS BIGINT) AS c1,"
+        f" CAST(CAST('0x' || substring(md5({canon}), 17, 8) AS UBIGINT)"
+        f"   AS BIGINT) AS c2"
+    )
+
+
+@q(
+    "v4_table_fingerprint",
+    f"""
+    WITH dch AS (
+      {_fp_chunks_sql("concat_ws('|', CAST(doc_id AS VARCHAR), "
+       "coalesce(text, '<NULL>'), coalesce(lang, '<NULL>'), "
+       "coalesce(source, '<NULL>'), CAST(n_chars AS VARCHAR))")}
+      FROM documents
+    ), pch AS (
+      {_fp_chunks_sql("concat_ws('|', CAST(p_partkey AS VARCHAR), p_name, "
+       "p_brand, p_type, CAST(p_size AS VARCHAR), "
+       "CAST(CAST(floor(p_retailprice * 100.0) AS BIGINT) AS VARCHAR))")}
+      FROM part
+    )
+    SELECT 'documents' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(c1) AS BIGINT) AS sum_lo,
+           bit_xor(c1) AS xor_lo, bit_xor(c2) AS xor_hi
+    FROM dch
+    UNION ALL
+    SELECT 'part', CAST(count(*) AS BIGINT), CAST(sum(c1) AS BIGINT),
+           bit_xor(c1), bit_xor(c2)
+    FROM pch
+    ORDER BY table_name
+    """,
+)
+def v4_table_fingerprint(spark, sf_dir):
+    """V4: order-independent table fingerprint — a per-row md5 of the
+    canonical column concatenation reduced by commutative aggregates
+    (sum + bit_xor of two 32-bit hash chunks), so two snapshots can
+    be compared for byte-equality without sorting either (the
+    snapshot/migration reconciliation primitive; reference analog:
+    the content-hash identity of adapters.py:327-338). Doubles enter
+    the canonical form only as exact floor-cents; every aggregate is
+    exact integer math. At 10^12 rows the sum column wraps int64
+    (Spark wraps silently, DuckDB promotes) — the xor columns are
+    the overflow-free scale tier, the sum adds multiset sensitivity
+    at audit scale. Scale shape: pure scan → map-side-combined
+    1-row aggregate per table; no shuffle beyond the final reduce."""
+
+    from .operators.pack import table_fingerprint
+
+    docs = table_fingerprint(
+        t(spark, sf_dir, "documents"),
+        F.concat_ws(
+            "|",
+            F.col("doc_id").cast("string"),
+            F.coalesce(F.col("text"), F.lit("<NULL>")),
+            F.coalesce(F.col("lang"), F.lit("<NULL>")),
+            F.coalesce(F.col("source"), F.lit("<NULL>")),
+            F.col("n_chars").cast("string"),
+        ),
+        "documents",
+    )
+    part = table_fingerprint(
+        t(spark, sf_dir, "part"),
+        F.concat_ws(
+            "|",
+            F.col("p_partkey").cast("string"),
+            F.col("p_name"),
+            F.col("p_brand"),
+            F.col("p_type"),
+            F.col("p_size").cast("string"),
+            F.floor(F.col("p_retailprice") * F.lit(100.0))
+            .cast("long")
+            .cast("string"),
+        ),
+        "part",
+    )
+    return docs.unionByName(part).orderBy("table_name")
+
+
+@q(
+    "v5_functional_dependency",
+    """
+    SELECT 'part: p_brand -> p_type' AS candidate,
+           p_brand AS lhs,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT p_type) AS BIGINT) AS n_rhs,
+           min(p_type) AS rhs_min, max(p_type) AS rhs_max
+    FROM part GROUP BY p_brand HAVING count(DISTINCT p_type) > 1
+    UNION ALL
+    SELECT 'nation: n_name -> n_regionkey', n_name,
+           CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT n_regionkey) AS BIGINT),
+           CAST(min(n_regionkey) AS VARCHAR), CAST(max(n_regionkey) AS VARCHAR)
+    FROM nation GROUP BY n_name HAVING count(DISTINCT n_regionkey) > 1
+    ORDER BY candidate, lhs
+    """,
+)
+def v5_functional_dependency(spark, sf_dir):
+    """V5: functional-dependency audit — for each candidate FD
+    A → B, emit the A values bound to more than one distinct B (with
+    witnesses), the 'is this column still derivable from that one'
+    schema-contract check (reference analog: the enum/identifier
+    consistency validation of the pydantic models, models.py:44-84).
+    Two candidates ship: one genuinely violated (brand → type) and
+    one that holds (nation name → region key, contributing zero
+    rows) so both verdict shapes are externally checked. Scale
+    shape: per-candidate map-side-combined groupBy on the LHS;
+    count(DISTINCT) expands to Spark's two-stage distinct aggregate."""
+
+    def audit(df, cand, lhs, rhs):
+        return (
+            df.groupBy(F.col(lhs).alias("lhs"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct(rhs).alias("n_rhs"),
+                F.min(rhs).cast("string").alias("rhs_min"),
+                F.max(rhs).cast("string").alias("rhs_max"),
+            )
+            .where(F.col("n_rhs") > 1)
+            .select(
+                F.lit(cand).alias("candidate"),
+                "lhs",
+                "n_rows",
+                "n_rhs",
+                "rhs_min",
+                "rhs_max",
+            )
+        )
+
+    return (
+        audit(
+            t(spark, sf_dir, "part"),
+            "part: p_brand -> p_type",
+            "p_brand",
+            "p_type",
+        )
+        .unionByName(
+            audit(
+                t(spark, sf_dir, "nation"),
+                "nation: n_name -> n_regionkey",
+                "n_name",
+                "n_regionkey",
+            )
+        )
+        .orderBy("candidate", "lhs")
+    )
+
+
+# =====================================================================
+# §2.14 (r5c) training-pipeline: decontamination / repetition / PII /
+# sequence packing
+# =====================================================================
+
+_TOKS_SQL = (
+    "list_filter(string_split_regex(translate(text, "
+    f"'{X.ASCII_UPPER}', '{X.ASCII_LOWER}'), '" + X.WORD_SPLIT + "'), "
+    "x -> x <> '')"
+)
+
+
+@q(
+    "x6_decontamination",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS tk
+      FROM documents WHERE text IS NOT NULL
+    ), g4 AS (
+      SELECT doc_id, list_distinct(list_transform(
+        list_zip(tk[1:len(tk)-3], tk[2:len(tk)-2],
+                 tk[3:len(tk)-1], tk[4:len(tk)]),
+        s -> s[1] || ' ' || s[2] || ' ' || s[3] || ' ' || s[4]
+      )) AS grams
+      FROM toks WHERE len(tk) >= 4
+    ), eval_grams AS (
+      SELECT DISTINCT unnest(grams) AS gram FROM g4 WHERE doc_id % 97 = 0
+    ), train AS (
+      SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+             unnest(grams) AS gram
+      FROM g4 WHERE doc_id % 97 <> 0
+    )
+    SELECT t.doc_id, t.n_grams,
+           CAST(count(*) AS BIGINT) AS n_shared,
+           CAST(count(*) AS DOUBLE) / t.n_grams AS containment
+    FROM train t JOIN eval_grams e ON t.gram = e.gram
+    GROUP BY t.doc_id, t.n_grams
+    ORDER BY t.doc_id
+    """,
+)
+def x6_decontamination(spark, sf_dir):
+    """X6: train/eval decontamination — word 4-gram containment of
+    every training document against a held-out eval split (the
+    deterministic doc_id % 97 slice manufactures the same split in
+    both engines), the benchmark-leakage scan every training-data
+    pipeline runs before a model ships (real pipelines use 8-13
+    grams; the synthetic corpus's tiny vocabulary makes 4 the
+    equivalent rarity tier). Tokenization is the shared cross-engine
+    ASCII form; containment is one exact integer division. Scale
+    shape: the eval n-gram set is tiny relative to the corpus (eval
+    sets are fixed-size while the corpus grows), so it deduplicates
+    then BROADCASTS to the per-doc gram stream — no shuffle of the
+    corpus side; the per-doc rollup is a map-side-combined groupBy
+    on doc_id."""
+    from .operators.text import ascii_word_tokens
+
+    d = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    g4 = d.select(
+        "doc_id",
+        D.distinct_ngrams(ascii_word_tokens(F.col("text")), 4).alias("grams"),
+    ).where(F.size("grams") >= 1)
+    eval_grams = (
+        g4.where(F.col("doc_id") % 97 == 0)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    train = g4.where(F.col("doc_id") % 97 != 0).select(
+        "doc_id",
+        F.size("grams").cast("long").alias("n_grams"),
+        F.explode("grams").alias("gram"),
+    )
+    return (
+        train.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id", "n_grams")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_shared",
+            (F.col("n_shared").cast("double") / F.col("n_grams")).alias(
+                "containment"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "x7_repetition_profile",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS tk
+      FROM documents WHERE text IS NOT NULL
+    ), bg AS (
+      SELECT doc_id, unnest(list_transform(
+        list_zip(tk[1:len(tk)-1], tk[2:len(tk)]), s -> s[1] || ' ' || s[2]
+      )) AS gram
+      FROM toks WHERE len(tk) >= 2
+    ), per_gram AS (
+      SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS cnt
+      FROM bg GROUP BY doc_id, gram
+    )
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_total,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(sum(cnt) - count(*) AS DOUBLE)
+             / CAST(sum(cnt) AS BIGINT) AS dup_fraction,
+           CAST(max(cnt) AS DOUBLE)
+             / CAST(sum(cnt) AS BIGINT) AS top_gram_share
+    FROM per_gram GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def x7_repetition_profile(spark, sf_dir):
+    """X7: within-document repetition profile — duplicate word-bigram
+    fraction and dominant-bigram share per document, the
+    Gopher-style 'is this document degenerate boilerplate' quality
+    signal (repetitive docs poison LM training). Uses the bag-
+    semantics n-gram builder (operators/dedup.py all_ngrams — the
+    distinct form the dedup family uses would erase exactly the
+    duplicates being measured). Ratios are exact integer divisions.
+    Scale shape: explode → two map-side-combined groupBys keyed by
+    doc (bounded by document length, no cross-doc shuffle width)."""
+    from .operators.text import ascii_word_tokens
+
+    d = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            D.all_ngrams(ascii_word_tokens(F.col("text")), 2)
+        ).alias("gram"),
+    )
+    per_gram = bg.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        per_gram.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_total"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("cnt").alias("_max_cnt"),
+        )
+        .select(
+            "doc_id",
+            "n_total",
+            "n_distinct",
+            (
+                (F.col("n_total") - F.col("n_distinct")).cast("double")
+                / F.col("n_total")
+            ).alias("dup_fraction"),
+            (F.col("_max_cnt").cast("double") / F.col("n_total")).alias(
+                "top_gram_share"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_DIGIT_RUN_RE = r"[0-9]{6,}"
+
+
+@q(
+    "x8_pii_scan",
+    f"""
+    WITH scan AS (
+      SELECT doc_id,
+             coalesce(text, '')
+             || CASE WHEN doc_id % 11 = 0
+                     THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.' || coalesce(lang, 'xx')
+                     ELSE '' END
+             || CASE WHEN doc_id % 13 = 0
+                     THEN ' ph ' || lpad(CAST(doc_id AS VARCHAR), 7, '0')
+                     ELSE '' END AS scan_text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(scan_text, '{_EMAIL_RE}')) AS BIGINT)
+             AS n_email,
+           CAST(len(regexp_extract_all(scan_text, '{_DIGIT_RUN_RE}')) AS BIGINT)
+             AS n_long_digit
+    FROM scan
+    WHERE len(regexp_extract_all(scan_text, '{_EMAIL_RE}'))
+          + len(regexp_extract_all(scan_text, '{_DIGIT_RUN_RE}')) > 0
+    ORDER BY doc_id
+    """,
+)
+def x8_pii_scan(spark, sf_dir):
+    """X8: PII pattern scan — per-document counts of email-shaped and
+    long-digit-run matches, the redaction pre-pass of a training
+    corpus pipeline. The synthetic corpus contains no organic PII,
+    so deterministic planted PII (doc_id % 11 emails, % 13 digit
+    runs, built from row values identically in both engines) gives
+    the scan a non-trivial externally-checked answer; the patterns
+    deliberately use only regex constructs Java regex and RE2 parse
+    identically (explicit classes, no \\b / lookaround — the
+    operators/text.py divergence rules). Scale shape: pure
+    scan-local predicate + projection, codegen'd, zero shuffle
+    before the output sort."""
+    d = t(spark, sf_dir, "documents")
+    scan_text = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example."),
+                F.coalesce(F.col("lang"), F.lit("xx")),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                F.lit(" ph "), F.lpad(F.col("doc_id").cast("string"), 7, "0")
+            ),
+        ).otherwise(F.lit("")),
+    )
+    s = d.select(
+        "doc_id",
+        F.regexp_count(scan_text, F.lit(_EMAIL_RE)).cast("long").alias("n_email"),
+        F.regexp_count(scan_text, F.lit(_DIGIT_RUN_RE))
+        .cast("long")
+        .alias("n_long_digit"),
+    )
+    return (
+        s.where(F.col("n_email") + F.col("n_long_digit") > 0)
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "x9_chunk_pack",
+    """
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(CASE WHEN text IS NULL OR length(trim(text, ' ')) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text, ' '), '"""
+    + X.WS_RUN
+    + """')) END AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) - n_tokens AS start_off
+      FROM d WHERE n_tokens > 0
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(floor(start_off / 512) AS BIGINT) AS first_chunk,
+           CAST(floor((start_off + n_tokens - 1) / 512) AS BIGINT) AS last_chunk,
+           CAST(floor((start_off + n_tokens - 1) / 512)
+                - floor(start_off / 512) + 1 AS BIGINT) AS n_chunks
+    FROM c ORDER BY source, doc_id
+    """,
+)
+def x9_chunk_pack(spark, sf_dir):
+    """X9: sequence chunk packing — concatenate documents per source
+    in deterministic doc_id order and assign each to the fixed-width
+    512-token training chunks it lands in (first/last chunk +
+    straddle count), the context-window packing step between a
+    curated corpus and a tokenized training shard. Token counts are
+    the shared cross-engine WS_RUN form.
+
+    The oracle is the textbook per-source running sum — which on
+    Spark serializes each source into one partition. The engine path
+    is the a26-style SCALABLE two-level prefix sum instead: intra-
+    block cumsums over (source, 128-doc-id block) windows run fully
+    parallel, and block offsets come from a window over the tiny
+    per-block totals frame (|blocks| rows), broadcast back. Integer
+    arithmetic throughout — floor-div on BIGINT has no float
+    surface."""
+    from .operators.pack import chunk_pack
+    from .operators.text import token_count
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.coalesce(token_count(F.col("text")), F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return chunk_pack(
+        d, "doc_id", "source", "n_tokens", chunk_size=512, block=128
+    ).orderBy("source", "doc_id")
+
+
 # --- driver CORRECTNESS window ordering ---------------------------------------
 #
 # The external driver oracle-checks the FIRST 50 registered queries per
