@@ -86,6 +86,28 @@ SECTIONS = [
         "self-join, intersections from two equi-joins on (doc, "
         "shingle).",
     ),
+    (
+        "v1_order_reconciliation — pre-aggregate facts before the join",
+        "lineitem collapses to one exact-cents row per order key "
+        "(map-side partial agg) BELOW the orders join, so the join "
+        "moves |orders| rows, not |lineitem|; the priority rollup is "
+        "5 groups.",
+    ),
+    (
+        "x6_decontamination — broadcast eval-gram containment join",
+        "The deduplicated eval n-gram set (fixed-size while the "
+        "corpus grows) broadcasts to the train-side gram stream; the "
+        "corpus side never shuffles for the join — its only exchange "
+        "is the per-doc rollup keyed by doc_id.",
+    ),
+    (
+        "x9_chunk_pack — two-level prefix sum, no serial group window",
+        "Intra-block cumsums run over (source, block) hash "
+        "partitioning — fully parallel — and block offsets come from "
+        "a window over the tiny per-block totals frame, broadcast "
+        "back. The textbook per-source running sum would serialize "
+        "each source into one partition.",
+    ),
 ]
 
 

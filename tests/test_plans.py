@@ -322,3 +322,52 @@ def test_exists_subqueries_decorrelate_to_hash_joins(spark):
     assert "LeftSemi" in p and "LeftAnti" in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_reconciliation_preaggregates_before_join(spark):
+    """v1: lineitem must collapse to one row per order key (partial
+    hash agg) BEFORE joining orders — joining the raw fact table and
+    aggregating after would shuffle 4× the rows."""
+    p = optimized(QUERIES["v1_order_reconciliation"](spark, SF))
+    join_pos = p.find("Join")
+    agg_pos = p.find("Aggregate [l_orderkey")
+    assert join_pos != -1 and agg_pos != -1
+    # optimized plan prints top-down: the per-key aggregate must sit
+    # BELOW the join (appear after it in the dump)
+    assert agg_pos > join_pos
+
+
+def test_key_skew_profile_topk_avoids_global_sort(spark):
+    """v3: the top-10 heavy keys come from TakeOrdered, and the 1-row
+    summary attaches by broadcast — no full sort, no cartesian."""
+    p = plan(QUERIES["v3_key_skew_profile"](spark, SF))
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
+def test_table_fingerprint_is_pure_scan_reduce(spark):
+    """v4: each table reduces in one partial/final aggregate pass —
+    no join, no window, no shuffle wider than the 1-row final agg."""
+    p = plan(QUERIES["v4_table_fingerprint"](spark, SF))
+    assert "Join" not in p
+    assert "Window" not in p
+    assert "HashAggregate" in p
+
+
+def test_decontamination_broadcasts_eval_grams(spark):
+    """x6: the deduplicated eval n-gram set must broadcast to the
+    train-side gram stream — the corpus side never shuffles for the
+    containment join."""
+    p = plan(QUERIES["x6_decontamination"](spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_chunk_pack_window_is_block_partitioned(spark):
+    """x9: the per-row cumsum window must be partitioned by
+    (source, block) — parallel — with the only coarser window running
+    on the tiny per-block totals frame, which then broadcasts back."""
+    p = plan(QUERIES["x9_chunk_pack"](spark, SF))
+    assert "windowspecdefinition(source" in p and "_blk" in p
+    assert "Exchange hashpartitioning(source" in p
+    assert "BroadcastHashJoin" in p
