@@ -1,0 +1,70 @@
+"""Span transforms for the interleaved text+media document shape
+(``spans: array<struct<kind,text,media_ref,offset>>``) — the repair /
+re-chunk side of the payload whose *validation* side lives in
+``constraints/`` (offset-ordering checks, exprs.py:63-131).
+
+``normalize_offsets`` REPAIRS what ``offset_ordering`` detects: it
+recomputes every span's offset as the running position in the
+document's token stream (text spans advance by their character length,
+media spans by one placeholder position — the ``<media>``-token
+convention of interleaved training corpora). Pure higher-order Column
+expressions (transform / aggregate / zip_with) — per-row, JVM-side,
+zero shuffle, no Python. The per-span prefix sum is O(k²) in spans per
+doc (aggregate over a slice per element); fine for document-shaped k
+(tens), while a corpus with thousands of spans per doc would switch to
+the posexplode + block-window form (see queries.py x9 / a26 for that
+pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def span_lengths(spans: Column) -> Column:
+    """array<long> of per-span stream lengths: text → char length
+    (null text → 0), anything else → 1 placeholder position."""
+    return F.transform(
+        spans,
+        lambda s: F.when(
+            s["kind"] == "text", F.length(F.coalesce(s["text"], F.lit("")))
+        )
+        .otherwise(F.lit(1))
+        .cast("long"),
+    )
+
+
+def running_offsets(lens: Column) -> Column:
+    """Exclusive prefix sums of a numeric array as array<long>:
+    [a,b,c] → [0, a, a+b]."""
+
+    def prefix(ls: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.size(ls)),
+            lambda i: F.aggregate(
+                F.slice(ls, 1, i - 1),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+
+    # let-bind via the array+get idiom (see dedup._ngrams) so `lens`
+    # is materialized once, not re-derived per element
+    return F.get(F.transform(F.array(lens), prefix), 0)
+
+
+def normalize_offsets(spans: Column) -> Column:
+    """The spans array with every ``offset`` replaced by its correct
+    running-stream position; all other fields preserved."""
+    offs = running_offsets(span_lengths(spans))
+    return F.zip_with(
+        spans,
+        offs,
+        lambda s, o: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            o.cast("int").alias("offset"),
+        ),
+    )

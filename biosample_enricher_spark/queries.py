@@ -4787,6 +4787,132 @@ def x9_chunk_pack(spark, sf_dir):
     ).orderBy("source", "doc_id")
 
 
+@q(
+    "v6_bloom_referential",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, l.l_partkey
+    FROM lineitem l
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part p
+      WHERE p.p_partkey = l.l_partkey AND p.p_partkey % 7 <> 0
+    )
+    ORDER BY l.l_orderkey, l.l_linenumber
+    """,
+)
+def v6_bloom_referential(spark, sf_dir):
+    """V6: referential violations through the Bloom pre-filter tier
+    (operators/bloom.py) — a from-scratch pure-Column Bloom filter
+    (Spark's internal bloom_filter_agg is not publicly registered):
+    distributed bit-array build via bit_or aggregate, one-row
+    broadcast probe, k conjunctive bit tests folded into the scan.
+    A deterministic catalog shrink (parts with p_partkey % 7 = 0
+    removed) manufactures violations in both engines. The ORACLE is
+    the plain exact anti-join — so the external row checks the
+    tier's no-false-negative + verified-false-positive claim itself
+    (definite ∪ verified ≡ exact), the same oracle-checks-the-
+    optimization pattern as dedup_ngram_jaccard's losslessness row.
+    Scale story in the module docstring (2 MiB filter broadcasts
+    where a 10⁹-key exact set cannot)."""
+    from .operators.bloom import bloom_referential_violations
+
+    facts = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    catalog = t(spark, sf_dir, "part").where(F.col("p_partkey") % 7 != 0)
+    return bloom_referential_violations(
+        facts, "l_partkey", catalog, "p_partkey"
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@q(
+    "sp1_span_offsets",
+    """
+    WITH d AS (
+      SELECT doc_id, CAST(floor((length(text) + 1) / 2) AS INT) AS cl,
+             length(text) AS L
+      FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    )
+    SELECT doc_id, 0 AS span_idx, 'text' AS kind,
+           CAST(NULL AS VARCHAR) AS media_ref,
+           CAST(cl AS BIGINT) AS span_len, 0 AS offset
+    FROM d
+    UNION ALL
+    SELECT doc_id, 1, 'image', 'asset-' || CAST(doc_id % 97 AS VARCHAR),
+           CAST(1 AS BIGINT), cl
+    FROM d
+    UNION ALL
+    SELECT doc_id, 2, 'text', CAST(NULL AS VARCHAR),
+           CAST(L - cl AS BIGINT), cl + 1
+    FROM d
+    ORDER BY doc_id, span_idx
+    """,
+)
+def sp1_span_offsets(spark, sf_dir):
+    """SP1: span-offset normalization on the interleaved document
+    shape — the REPAIR twin of the constraint suite's offset_ordering
+    check (constraints/exprs.py): every span's offset is recomputed
+    as its running position in the doc's token stream (text spans
+    advance by char length, media spans by one placeholder position)
+    via pure higher-order Column expressions (operators/spans.py
+    normalize_offsets — transform/aggregate/zip_with, per-row,
+    JVM-side, ZERO shuffle before the output sort).
+
+    The flat driver table is lifted into a 3-span interleaved doc
+    (text half, planted media span, text half) deterministically in
+    both engines; the ORACLE computes the offsets in closed form
+    (0, cl, cl+1), so the external row checks the HOF prefix-sum
+    machinery itself — the same machinery that runs on real
+    variable-length span arrays (tests/test_spans.py pins those on
+    the synthetic interleaved corpus)."""
+    from .operators.spans import normalize_offsets
+
+    d = t(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    cl = F.floor((F.length("text") + 1) / 2).cast("int")
+    spans = F.array(
+        F.struct(
+            F.lit("text").alias("kind"),
+            F.col("text").substr(F.lit(1), cl).alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(-1).alias("offset"),
+        ),
+        F.struct(
+            F.lit("image").alias("kind"),
+            F.lit(None).cast("string").alias("text"),
+            F.concat(
+                F.lit("asset-"), (F.col("doc_id") % 97).cast("string")
+            ).alias("media_ref"),
+            F.lit(-1).alias("offset"),
+        ),
+        F.struct(
+            F.lit("text").alias("kind"),
+            F.col("text").substr(cl + 1, F.length("text")).alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(-1).alias("offset"),
+        ),
+    )
+    lifted = d.select("doc_id", normalize_offsets(spans).alias("spans"))
+    return (
+        lifted.select("doc_id", F.posexplode("spans").alias("span_idx", "s"))
+        .select(
+            "doc_id",
+            "span_idx",
+            F.col("s.kind").alias("kind"),
+            F.col("s.media_ref").alias("media_ref"),
+            F.when(
+                F.col("s.kind") == "text",
+                F.length(F.coalesce(F.col("s.text"), F.lit(""))),
+            )
+            .otherwise(F.lit(1))
+            .cast("long")
+            .alias("span_len"),
+            F.col("s.offset").alias("offset"),
+        )
+        .orderBy("doc_id", "span_idx")
+    )
+
+
 # --- driver CORRECTNESS window ordering ---------------------------------------
 #
 # The external driver oracle-checks the FIRST 50 registered queries per

@@ -101,6 +101,21 @@ SECTIONS = [
         "is the per-doc rollup keyed by doc_id.",
     ),
     (
+        "v6_bloom_referential — Bloom pre-filter tier for referential",
+        "The one-row bit-array filter (built by a bit_or aggregate "
+        "bounded by m/64 words, not catalog size) attaches to the "
+        "fact side by broadcast; bloom-failing rows are definite "
+        "violations with zero shuffle, and only bloom-passing rows "
+        "enter the exact broadcast left-anti verify.",
+    ),
+    (
+        "sp1_span_offsets — per-row HOF offset repair, zero shuffle",
+        "Span lengths, exclusive prefix sums, and struct rebuild all "
+        "run as higher-order Column expressions inside the scan "
+        "stage; the only exchange in the plan is the presentation "
+        "sort.",
+    ),
+    (
         "x9_chunk_pack — two-level prefix sum, no serial group window",
         "Intra-block cumsums run over (source, block) hash "
         "partitioning — fully parallel — and block offsets come from "

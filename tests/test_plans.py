@@ -371,3 +371,23 @@ def test_chunk_pack_window_is_block_partitioned(spark):
     assert "windowspecdefinition(source" in p and "_blk" in p
     assert "Exchange hashpartitioning(source" in p
     assert "BroadcastHashJoin" in p
+
+
+def test_span_offsets_is_shuffle_free_per_row(spark):
+    """sp1: offset normalization is pure per-row HOF work + a
+    Generate (posexplode) — the only exchange in the whole plan is
+    the final presentation sort's range partitioning."""
+    p = plan(QUERIES["sp1_span_offsets"](spark, SF))
+    assert "Generate" in p
+    assert "Exchange hashpartitioning" not in p
+    assert "Window" not in p and "SortMergeJoin" not in p
+
+
+def test_bloom_probe_broadcasts_filter_row(spark):
+    """v6: the one-row Bloom filter attaches by broadcast (nested-loop
+    on a 1-row build side) and the false-positive verify is a
+    broadcast left-anti — the fact side is never sort-merge joined."""
+    p = plan(QUERIES["v6_bloom_referential"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in p
+    assert "LeftAnti" in p
+    assert "SortMergeJoin" not in p
