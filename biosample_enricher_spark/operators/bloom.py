@@ -41,7 +41,14 @@ def _one_shl(nbits: Column) -> Column:
 
 
 def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
-    """k bit positions via double hashing: pmod(xxhash64(key, i), m)."""
+    """k bit positions via double hashing: pmod(xxhash64(key, i), m).
+
+    CAUTION: xxhash64 is TYPE-sensitive — int 5 and bigint 5 hash
+    differently even though a join would coerce them equal. Build and
+    probe must hash the key at the SAME dtype or the no-false-negative
+    guarantee silently breaks; ``bloom_referential_violations``
+    normalizes the fact key to the catalog key's type for exactly this
+    reason."""
     return [
         F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits)) for i in range(k)
     ]
@@ -123,20 +130,32 @@ def bloom_referential_violations(
     still carries most rows — the tier's win is the broadcastable
     filter size (m/8 bytes vs 8+ bytes/key) and the shuffle-free fast
     path for violating rows, not a reduction of the valid-row join.
+
+    The fact key is hashed AT THE CATALOG KEY'S dtype (xxhash64 is
+    type-sensitive where the join's equality is coercing — int 5 and
+    bigint 5 hash differently; see ``_positions``). The filter row's
+    columns ride under a reserved ``_bloom_`` prefix so fact columns
+    named ``words``/``k`` etc. survive untouched.
     """
-    bloom = build_bloom(catalog, catalog_key, m_bits, k)
-    probed = facts.crossJoin(F.broadcast(bloom)).withColumn(
-        "_maybe", might_contain(F.col(fact_key), F.col("words"), m_bits, k)
+    reserved = [c for c in facts.columns if c.startswith("_bloom_")]
+    assert not reserved, f"facts columns collide with bloom prefix: {reserved}"
+    probe_key = F.col(fact_key).cast(catalog.schema[catalog_key].dataType)
+    bloom = build_bloom(catalog, catalog_key, m_bits, k).select(
+        F.col("words").alias("_bloom_words")
     )
-    definite = probed.where(~F.col("_maybe")).drop(
-        "_maybe", "words", "m_bits", "k"
+    probed = facts.crossJoin(F.broadcast(bloom)).withColumn(
+        "_bloom_maybe",
+        might_contain(probe_key, F.col("_bloom_words"), m_bits, k),
+    )
+    definite = probed.where(~F.col("_bloom_maybe")).drop(
+        "_bloom_maybe", "_bloom_words"
     )
     verified = (
-        probed.where(F.col("_maybe"))
-        .drop("_maybe", "words", "m_bits", "k")
+        probed.where(F.col("_bloom_maybe"))
+        .drop("_bloom_maybe", "_bloom_words")
         .join(
-            catalog.select(F.col(catalog_key).alias(fact_key)),
-            fact_key,
+            catalog.select(F.col(catalog_key).alias("_bloom_ckey")),
+            probe_key == F.col("_bloom_ckey"),
             "left_anti",
         )
     )

@@ -15,6 +15,16 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 
+def _idiv(a: Column, b: int) -> Column:
+    """Exact integral division of a non-negative long by a positive
+    int via the SQL ``div`` operator (long in, long out) —
+    ``F.floor(a / b)`` goes through DOUBLE division, which silently
+    loses integer precision past 2^53; a DuckDB oracle written with
+    the same float path would drift identically, hiding it from
+    parity (its exact twin is the ``//`` operator)."""
+    return F.call_function("div", a, F.lit(b).cast("long"))
+
+
 def chunk_pack(
     df: DataFrame,
     id_col: str,
@@ -33,14 +43,20 @@ def chunk_pack(
     The textbook form is one running sum per group — which serializes
     each group into a single partition. This is the two-level form
     instead (same shape as the a26 sequence-gap audit): intra-block
-    cumsums over ``(group, floor(id/block))`` windows run fully
-    parallel, and block offsets come from a window over the tiny
-    per-block totals frame (|blocks| rows), broadcast back. The result
-    is independent of ``block`` and of input partitioning; integer
-    arithmetic throughout.
+    cumsums over ``(group, id div block)`` windows run fully
+    parallel, and block offsets come from a window over the per-block
+    totals frame, which joins back WITHOUT a forced broadcast hint —
+    its cardinality is |id range| / block per group (≈|rows|/block
+    for dense ids, but degenerating toward |rows| for sparse
+    snowflake-style ids), so AQE picks broadcast when it is actually
+    small rather than being ordered to at any size. Size ``block`` so
+    the offsets frame stays manageable for the id density at hand.
+    The result is independent of ``block`` and of input partitioning;
+    all chunk arithmetic is exact integral division (``_idiv`` — no
+    float surface at any magnitude).
     """
     d = df.select(id_col, group_col, tokens_col).where(F.col(tokens_col) > 0)
-    blk = d.withColumn("_blk", F.floor(F.col(id_col) / block))
+    blk = d.withColumn("_blk", _idiv(F.col(id_col), block))
     w_intra = (
         W.partitionBy(group_col, "_blk")
         .orderBy(id_col)
@@ -61,9 +77,9 @@ def chunk_pack(
         "_boff", F.coalesce(F.sum("_bt").over(w_blk), F.lit(0))
     ).select(group_col, "_blk", "_boff")
     start = F.col("_boff") + F.col("_icum")
-    first = F.floor(start / chunk_size)
-    last = F.floor((start + F.col(tokens_col) - 1) / chunk_size)
-    return intra.join(F.broadcast(offs), [group_col, "_blk"]).select(
+    first = _idiv(start, chunk_size)
+    last = _idiv(start + F.col(tokens_col) - 1, chunk_size)
+    return intra.join(offs, [group_col, "_blk"]).select(
         id_col,
         group_col,
         tokens_col,

@@ -4008,7 +4008,10 @@ def a26_sequence_gaps(spark, sf_dir):
         .where(F.col("event_id") % 97 != 0)
         .select("event_id")
     )
-    blk = s.withColumn("_blk", F.floor(F.col("event_id") / 4096))
+    # integral div, not floor(double-division): exact past 2^53
+    blk = s.withColumn(
+        "_blk", F.call_function("div", F.col("event_id"), F.lit(4096).cast("long"))
+    )
     wb = W.partitionBy("_blk").orderBy("event_id")
     intra = (
         blk.withColumn("nxt", F.lead("event_id").over(wb))
@@ -4749,10 +4752,10 @@ def x8_pii_scan(spark, sf_dir):
       FROM d WHERE n_tokens > 0
     )
     SELECT doc_id, source, n_tokens,
-           CAST(floor(start_off / 512) AS BIGINT) AS first_chunk,
-           CAST(floor((start_off + n_tokens - 1) / 512) AS BIGINT) AS last_chunk,
-           CAST(floor((start_off + n_tokens - 1) / 512)
-                - floor(start_off / 512) + 1 AS BIGINT) AS n_chunks
+           start_off // 512 AS first_chunk,
+           (start_off + n_tokens - 1) // 512 AS last_chunk,
+           (start_off + n_tokens - 1) // 512
+             - start_off // 512 + 1 AS n_chunks
     FROM c ORDER BY source, doc_id
     """,
 )
@@ -4768,10 +4771,12 @@ def x9_chunk_pack(spark, sf_dir):
     Spark serializes each source into one partition. The engine path
     is the a26-style SCALABLE two-level prefix sum instead: intra-
     block cumsums over (source, 128-doc-id block) windows run fully
-    parallel, and block offsets come from a window over the tiny
-    per-block totals frame (|blocks| rows), broadcast back. Integer
-    arithmetic throughout — floor-div on BIGINT has no float
-    surface."""
+    parallel, and block offsets come from a window over the per-block
+    totals frame, joined back with AQE free to broadcast it. All
+    chunk arithmetic is exact integral division (SQL ``div`` /
+    DuckDB ``//`` — never floor-of-double-division, which silently
+    loses integer precision past 2^53 on BOTH engines at once,
+    invisible to parity)."""
     from .operators.pack import chunk_pack
     from .operators.text import token_count
 

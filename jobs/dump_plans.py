@@ -119,9 +119,12 @@ SECTIONS = [
         "x9_chunk_pack — two-level prefix sum, no serial group window",
         "Intra-block cumsums run over (source, block) hash "
         "partitioning — fully parallel — and block offsets come from "
-        "a window over the tiny per-block totals frame, broadcast "
-        "back. The textbook per-source running sum would serialize "
-        "each source into one partition.",
+        "a window over the per-block totals frame, joined back with "
+        "NO forced broadcast hint (its cardinality is id_range/block "
+        "— unbounded at scale); AQE broadcasts it when measured "
+        "small. All chunk arithmetic is integral div, never "
+        "floor-of-double. The textbook per-source running sum would "
+        "serialize each source into one partition.",
     ),
 ]
 

@@ -91,3 +91,47 @@ def test_definite_split_is_shuffle_free_fast_path(spark):
     )
     misses = {r.key for r in probed.where(~F.col("hit")).collect()}
     assert misses and all(key >= n for key in misses)
+
+
+def test_referential_tier_survives_key_dtype_mismatch(spark):
+    """xxhash64 is type-sensitive where join equality coerces: an INT
+    fact key probed against a BIGINT-built filter must still equal the
+    exact anti-join (the operator normalizes the probe to the catalog
+    key's dtype)."""
+    facts = spark.createDataFrame(
+        [(i, i % 100 if i % 5 else 10**6 + i) for i in range(500)],
+        "row_id int, key int",
+    )
+    catalog = spark.createDataFrame([(i,) for i in range(100)], "ckey long")
+    got = bloom_referential_violations(
+        facts, "key", catalog, "ckey", m_bits=1 << 13, k=4
+    )
+    exact = facts.join(
+        catalog.select(F.col("ckey").cast("int").alias("key")),
+        "key",
+        "left_anti",
+    )
+    assert sorted((r.row_id, r.key) for r in got.collect()) == sorted(
+        (r.row_id, r.key) for r in exact.collect()
+    )
+
+
+def test_referential_tier_tolerates_fact_column_named_words(spark):
+    """Fact columns named words/k/m_bits must survive — the filter row
+    rides under the reserved _bloom_ prefix."""
+    facts = spark.createDataFrame(
+        [(i, f"w{i}", i % 50 if i % 3 else 999_999) for i in range(200)],
+        "k long, words string, key long",
+    )
+    catalog = spark.createDataFrame([(i,) for i in range(50)], "ckey long")
+    got = bloom_referential_violations(facts, "key", catalog, "ckey")
+    assert set(got.columns) == {"k", "words", "key"}
+    exact = facts.join(
+        catalog.select(F.col("ckey").alias("key")), "key", "left_anti"
+    )
+    assert got.count() == exact.count()
+    import pytest as _pytest
+
+    bad = facts.withColumnRenamed("words", "_bloom_words")
+    with _pytest.raises(AssertionError, match="_bloom_"):
+        bloom_referential_violations(bad, "key", catalog, "ckey")

@@ -365,9 +365,11 @@ def test_decontamination_broadcasts_eval_grams(spark):
 
 def test_chunk_pack_window_is_block_partitioned(spark):
     """x9: the per-row cumsum window must be partitioned by
-    (source, block) — parallel — with the only coarser window running
-    on the tiny per-block totals frame, which then broadcasts back."""
-    p = plan(QUERIES["x9_chunk_pack"](spark, SF))
+    (source, block) — parallel. The offsets join carries no forced
+    broadcast hint (its cardinality is id_range/block — unbounded at
+    scale), so the broadcast must come from AQE measuring it small:
+    assert on the final (post-AQE) plan."""
+    p = final_plan(QUERIES["x9_chunk_pack"](spark, SF))
     assert "windowspecdefinition(source" in p and "_blk" in p
     assert "Exchange hashpartitioning(source" in p
     assert "BroadcastHashJoin" in p
