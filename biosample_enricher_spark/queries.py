@@ -4918,6 +4918,119 @@ def sp1_span_offsets(spark, sf_dir):
     )
 
 
+@q(
+    "fn1_funnel_stages",
+    """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t_view
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN s2 ON s2.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+      GROUP BY e.user_id
+    )
+    SELECT s1.user_id, s1.t_view, s2.t_click, s3.t_purchase,
+           CAST(1 + (CASE WHEN s2.t_click IS NOT NULL THEN 1 ELSE 0 END)
+                  + (CASE WHEN s3.t_purchase IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS stage
+    FROM s1
+    LEFT JOIN s2 ON s2.user_id = s1.user_id
+    LEFT JOIN s3 ON s3.user_id = s1.user_id
+    ORDER BY s1.user_id
+    """,
+)
+def fn1_funnel_stages(spark, sf_dir):
+    """FN1: staged funnel analysis — first view, then first click
+    AFTER that view, then first purchase AFTER that click, per user
+    (the product-analytics conversion query; the ordered-causality
+    constraint is what separates it from three plain mins). Each
+    stage is a selective scan filter + keyed aggregate, chained by
+    equi-joins on user_id — three bounded shuffles of per-user rows,
+    never a per-user event collect or a MATCH_RECOGNIZE-style row
+    scan (operators/funnel.py). Timestamps pass through verbatim (w5
+    precedent); stage is exact integer arithmetic. Causality traps
+    (a click BEFORE the first view must not count) are pinned on
+    planted data in tests/test_suite_ops.py."""
+    from .operators.funnel import funnel_stages
+
+    return funnel_stages(
+        t(spark, sf_dir, "events"),
+        "user_id",
+        "event_type",
+        "ts",
+        ("view", "click", "purchase"),
+    ).orderBy("user_id")
+
+
+@q(
+    "er1_fuzzy_name_match",
+    """
+    WITH n AS (SELECT DISTINCT p_name FROM part),
+    k AS (
+      SELECT p_name, left(p_name, 3) AS b1, right(p_name, 3) AS b2 FROM n
+    ),
+    c1 AS (
+      SELECT a.p_name AS name_a, b.p_name AS name_b
+      FROM k a JOIN k b ON a.b1 = b.b1 AND a.p_name < b.p_name
+    ),
+    c2 AS (
+      SELECT a.p_name AS name_a, b.p_name AS name_b
+      FROM k a JOIN k b ON a.b2 = b.b2 AND a.p_name < b.p_name
+    ),
+    cand AS (SELECT * FROM c1 UNION SELECT * FROM c2)
+    SELECT name_a, name_b,
+           CAST(levenshtein(name_a, name_b) AS BIGINT) AS edit_distance
+    FROM cand WHERE levenshtein(name_a, name_b) BETWEEN 1 AND 2
+    ORDER BY name_a, name_b
+    """,
+)
+def er1_fuzzy_name_match(spark, sf_dir):
+    """ER1: blocked fuzzy matching (entity resolution) — near-
+    duplicate name pairs at edit distance 1-2, found by multi-pass
+    BLOCKING (prefix-3 and suffix-3 keys, each a hash equi-join —
+    never an OR-join, which Spark would execute as a nested loop)
+    followed by exact levenshtein verification on candidates only.
+    Blocking is part of the operator's definition (the oracle
+    computes the same blocked form exactly); recall of the blocking
+    vs the exhaustive all-pairs tier is measured in-repo
+    (tests/test_suite_ops.py — 24/24 at sf0.01) the way the LSH
+    family quantifies its candidate stage. Scale shape: candidates
+    are bounded per block; the O(n²) levenshtein never touches
+    non-colliding names."""
+    n = t(spark, sf_dir, "part").select("p_name").distinct()
+    k = n.select(
+        "p_name",
+        F.left(F.col("p_name"), F.lit(3)).alias("b1"),
+        F.right(F.col("p_name"), F.lit(3)).alias("b2"),
+    )
+    def block(key):
+        a, b = k.alias("a"), k.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col(f"a.{key}") == F.col(f"b.{key}"))
+                & (F.col("a.p_name") < F.col("b.p_name")),
+            )
+            .select(
+                F.col("a.p_name").alias("name_a"),
+                F.col("b.p_name").alias("name_b"),
+            )
+        )
+    cand = block("b1").unionByName(block("b2")).distinct()
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        cand.withColumn("edit_distance", dist.cast("long"))
+        .where((F.col("edit_distance") >= 1) & (F.col("edit_distance") <= 2))
+        .orderBy("name_a", "name_b")
+    )
+
+
 # --- driver CORRECTNESS window ordering ---------------------------------------
 #
 # The external driver oracle-checks the FIRST 50 registered queries per

@@ -284,3 +284,87 @@ def test_sequence_gaps_two_level_matches_global_window(spark):
     )
     got = {(r["gs"], r["ge"]) for r in intra.unionByName(boundary).collect()}
     assert got == naive and len(naive) > 500
+
+
+def test_fuzzy_match_blocking_recall_vs_exhaustive(spark):
+    """er1: the prefix/suffix blocking must find every edit-distance
+    1-2 pair the exhaustive all-pairs join finds on the sf0.01 name
+    set (measured recall 24/24 = 1.0 here; blocking is the operator's
+    DEFINITION — this pins how much that definition costs on real
+    data, the way the LSH family quantifies its candidate stage)."""
+    from biosample_enricher_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        (r.name_a, r.name_b)
+        for r in QUERIES["er1_fuzzy_name_match"](spark, sf).collect()
+    }
+    n = (
+        spark.read.parquet(f"{sf}/part.parquet")
+        .select("p_name")
+        .distinct()
+    )
+    a, b = n.alias("a"), n.alias("b")
+    full = {
+        (r.name_a, r.name_b)
+        for r in a.join(b, F.col("a.p_name") < F.col("b.p_name"))
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("d"),
+        )
+        .where((F.col("d") >= 1) & (F.col("d") <= 2))
+        .collect()
+    }
+    assert full and got == full
+
+
+def test_funnel_stage_timestamps_strictly_ordered(spark):
+    """fn1 over the driver events table: every emitted chain must
+    satisfy the causal order t_view < t_click < t_purchase (at sf0.01
+    every user converts — discrimination is pinned on planted data
+    below)."""
+    from biosample_enricher_spark.queries import QUERIES
+
+    rows = QUERIES["fn1_funnel_stages"](spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        if r.t_click is not None:
+            assert r.t_view < r.t_click
+        else:
+            assert r.t_purchase is None and r.stage == 1
+        if r.t_purchase is not None:
+            assert r.t_click < r.t_purchase and r.stage == 3
+
+
+def test_funnel_causality_traps_on_planted_data(spark):
+    """The ordered-causality constraint, not three independent mins:
+    a click BEFORE the first view must not advance the funnel, and a
+    purchase before the first qualifying click must not either."""
+    from biosample_enricher_spark.operators.funnel import funnel_stages
+
+    rows = [
+        # u1: full ordered chain view(10) click(20) purchase(30) → 3
+        (1, 10, "view"), (1, 20, "click"), (1, 30, "purchase"),
+        # u2: click(5) precedes view(10) and nothing after → stage 1
+        (2, 5, "click"), (2, 10, "view"),
+        # u3: purchase(15) before the qualifying click(20) → stage 2
+        (3, 10, "view"), (3, 15, "purchase"), (3, 20, "click"),
+        # u4: never viewed → absent from the output
+        (4, 10, "click"), (4, 20, "purchase"),
+        # u5: pre-view click(5) ignored; later click(25) counts → 2
+        (5, 5, "click"), (5, 10, "view"), (5, 25, "click"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts long, event_type string")
+    got = {
+        r.user_id: (r.stage, r.t_view, r.t_click, r.t_purchase)
+        for r in funnel_stages(
+            ev, "user_id", "event_type", "ts", ("view", "click", "purchase")
+        ).collect()
+    }
+    assert got == {
+        1: (3, 10, 20, 30),
+        2: (1, 10, None, None),
+        3: (2, 10, 20, None),
+        5: (2, 10, 25, None),
+    }
