@@ -5031,6 +5031,76 @@ def er1_fuzzy_name_match(spark, sf_dir):
     )
 
 
+@q(
+    "rt1_cohort_retention",
+    """
+    WITH u AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ), act AS (
+      SELECT DISTINCT u.cohort_day,
+             datediff('day', u.cohort_day, CAST(e.ts AS DATE)) AS day_offset,
+             e.user_id
+      FROM events e JOIN u ON u.user_id = e.user_id
+      WHERE datediff('day', u.cohort_day, CAST(e.ts AS DATE)) BETWEEN 0 AND 7
+    ), grid AS (
+      SELECT cohort_day, day_offset, CAST(count(*) AS BIGINT) AS n_active
+      FROM act GROUP BY cohort_day, day_offset
+    ), base AS (
+      SELECT cohort_day, n_active AS cohort_size FROM grid WHERE day_offset = 0
+    )
+    SELECT g.cohort_day, g.day_offset, g.n_active, b.cohort_size,
+           CAST(g.n_active AS DOUBLE) / b.cohort_size AS retention_rate
+    FROM grid g JOIN base b ON b.cohort_day = g.cohort_day
+    ORDER BY g.cohort_day, g.day_offset
+    """,
+)
+def rt1_cohort_retention(spark, sf_dir):
+    """RT1: cohort retention — users grouped by first-seen day, with
+    the distinct-active count and retention rate at each day offset
+    0-7 (the growth-analytics staple beside a19's DAU and fn1's
+    funnel). day 0 is the cohort size by construction, so the rate
+    denominator needs no second scan. All counts exact; the rate is
+    one exact integer division. Scale shape: one keyed aggregate for
+    cohort days, a key-to-key join back to events, a distinct on
+    (cohort, offset, user) — bounded by active rows in the 8-day
+    horizon — and an 8-row-per-cohort rollup; the day-0 base joins
+    back by cohort key (tiny, AQE broadcasts it)."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("_d")
+    )
+    u = ev.groupBy("user_id").agg(F.min("_d").alias("cohort_day"))
+    act = (
+        ev.join(u, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff("_d", "cohort_day").alias("day_offset"),
+            "user_id",
+        )
+        .where((F.col("day_offset") >= 0) & (F.col("day_offset") <= 7))
+        .distinct()
+    )
+    grid = act.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    base = grid.where(F.col("day_offset") == 0).select(
+        "cohort_day", F.col("n_active").alias("cohort_size")
+    )
+    return (
+        grid.join(base, "cohort_day")
+        .select(
+            "cohort_day",
+            F.col("day_offset").cast("long").alias("day_offset"),
+            "n_active",
+            "cohort_size",
+            (F.col("n_active").cast("double") / F.col("cohort_size")).alias(
+                "retention_rate"
+            ),
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
 # --- driver CORRECTNESS window ordering ---------------------------------------
 #
 # The external driver oracle-checks the FIRST 50 registered queries per

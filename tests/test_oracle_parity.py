@@ -111,8 +111,8 @@ def test_registry_counts_match_docs():
     a28_exact_percentiles, u8_exists_subquery — all SQL-oracled); pin the numbers here so
     the docs cannot silently drift from the registry again (r3
     verdict item #7)."""
-    assert len(QUERIES) == 130
-    assert len(ORACLES) == 114
+    assert len(QUERIES) == 131
+    assert len(ORACLES) == 115
 
 
 def test_manual_sessionize_matches_builtin_session_window(spark):
