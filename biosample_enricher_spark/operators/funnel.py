@@ -29,6 +29,9 @@ def funnel_stages(
     of every stage reached (``t_<stage>`` columns, null once the chain
     breaks) plus ``stage`` — how deep the user got (1..len(stages))."""
     assert len(stages) >= 2
+    assert len(set(stages)) == len(stages), "stage names must be unique"
+    clash = [c for c in events.columns if c in {f"t_{s}" for s in stages}]
+    assert not clash, f"events columns collide with stage outputs: {clash}"
     cur = (
         events.where(F.col(type_col) == stages[0])
         .groupBy(user_col)

@@ -103,14 +103,11 @@ def test_driver_window_ordering():
 
 
 def test_registry_counts_match_docs():
-    """README and WINDOW_COVERAGE.md state 117 queries / 101 oracled
-    (thirteen round-5b additions — drift_emd_nchars, w8_rank_variants,
-    a22_entropy_profile, a23_outlier_zscore, dedup_ngram_jaccard,
-    a24_heavy_hitters, w9_forward_fill, a25_skew_kurtosis,
-    streaming_sessionize, a26_sequence_gaps, a27_benford_digits,
-    a28_exact_percentiles, u8_exists_subquery — all SQL-oracled); pin the numbers here so
-    the docs cannot silently drift from the registry again (r3
-    verdict item #7)."""
+    """The registry counts stated in the docs (ROUND5_NOTES.md,
+    SURVEY.md §2.14, .claude/skills/verify/SKILL.md) are pinned here
+    so they cannot silently drift from the registry (r3 verdict item
+    #7). Whoever registers a query updates the asserts AND the three
+    doc sites in the same commit."""
     assert len(QUERIES) == 131
     assert len(ORACLES) == 115
 
