@@ -5114,7 +5114,7 @@ def rt1_cohort_retention(spark, sf_dir):
 # commit regardless of this order.
 
 DRIVER_WINDOW: list[str] = [
-    # round-5 rotation (see WINDOW_COVERAGE.md). Priority order:
+    # round-5 rotation, v2 (see WINDOW_COVERAGE.md). Priority order:
     # (1) the seven round-4 post-window queries — registered after the
     #     r4 window filled, never externally checked (r4 VERDICT #2);
     "o5_offset_pagination",
@@ -5124,66 +5124,60 @@ DRIVER_WINDOW: list[str] = [
     "p11_stratified_sample",
     "a20_gapfill_daily",
     "p12_unpivot",
-    # (2) oracle upgraded this round: rows-only → exact SQL (windowed-
-    #     CDF KS per partition, SQL-portable doc_id%8 partition key);
+    # (2) oracle upgraded this round: rows-only → exact SQL;
     "drift_ks_by_partition",
-    # (3) output/semantics changed this round — re-verify (quantified
-    #     recall/precision/rel-err columns on the rows-only queries;
-    #     exact collapse + hot-bucket cap composed into the dedup
-    #     pipeline);
+    # (3) output/semantics changed this round (quantified metric
+    #     columns; exact collapse + hot-bucket cap in the pipeline);
     "dedup_minhash_pairs",
     "ann_srp_topk",
     "dedup_lsh_cc_keepfirst",
     "dedup_simhash_pairs",
     "a2_approx_distinct",
-    # (ann_ivf_topk / ann_ivf_build_probe also changed — they already
-    # sit in the window below via the r3-era cohort)
-    # (4) the 28 queries whose last external row is r3 (or r3 plus one
-    #     earlier round), rotated back in;
+    "ann_ivf_topk",
+    "ann_ivf_build_probe",
+    # (4) every query REGISTERED this round — 31 first-time external
+    #     checks (never-checked beats re-verification of green rows:
+    #     the same priority rule the r4→r5 rotation applied to the
+    #     seven queries in (1));
+    "o6_keyset_pagination",
+    "mix_corpus_weighted",
+    "a21_sliding_distinct",
+    "drift_emd_nchars",
+    "w8_rank_variants",
+    "a22_entropy_profile",
+    "a23_outlier_zscore",
+    "dedup_ngram_jaccard",
+    "a24_heavy_hitters",
+    "w9_forward_fill",
+    "a25_skew_kurtosis",
+    "streaming_sessionize",
+    "a26_sequence_gaps",
+    "a27_benford_digits",
+    "a28_exact_percentiles",
+    "u8_exists_subquery",
+    "v1_order_reconciliation",
+    "v2_temporal_integrity",
+    "v3_key_skew_profile",
+    "v4_table_fingerprint",
+    "v5_functional_dependency",
+    "x6_decontamination",
+    "x7_repetition_profile",
+    "x8_pii_scan",
+    "x9_chunk_pack",
+    "v6_bloom_referential",
+    "sp1_span_offsets",
+    "fn1_funnel_stages",
+    "er1_fuzzy_name_match",
+    "rt1_cohort_retention",
+    "dedup_embedding_cc",
+    # (5) the stalest re-verification candidates fill the remaining
+    #     four slots; every other r3-/r4-green query parks with its
+    #     prior green rows as the valid external signal (the r4
+    #     VERDICT's own accounting rule for rotated-out queries).
     "dsl_validation_verdicts",
     "s3_tablesample",
     "p1_normalizing_projection",
     "p2_multiformat_coordinates",
-    "ann_ivf_topk",
-    "ann_ivf_build_probe",
-    "j5_multifield_merge",
-    "drift_ks_nchars",
-    "s4_filtered_sample",
-    "p3_path_extraction",
-    "p6_exclusion_filter",
-    "p8_valid_coordinates",
-    "f21_hash_ids",
-    "ann_recall_metrics",
-    "dedup_lsh_recall",
-    "drift_tv_lang",
-    "multimodal_pipeline",
-    "a16_quantiles",
-    "streaming_validation",
-    "j2_realignment_join",
-    "drift_psi_source",
-    "dedup_cluster_assign",
-    "j7_asof_join",
-    "schema_infer_documents",
-    "schema_json_interleaved",
-    "streaming_uniqueness",
-    "f13_decimal_precision",
-    "f18_geo_loc_parse",
-    # (5) 9 of the 15 triple-green (r1+r2+r3) queries — the stalest
-    #     remaining tier; the other six (w1_best_per_group,
-    #     f_scalar_gauntlet, text_lang_id, ann_bruteforce_topk,
-    #     j3_referential_antijoin, j4_tolerance_join) park after the
-    #     window along with every r4-green query, whose prior rows
-    #     remain the valid external signal — displaced so the two
-    #     r5-changed rows-only queries above get re-verified first.
-    "s1_scan_filter_project",
-    "s2_existence_filter",
-    "s6_count_scan",
-    "p4_coalesce_first_nonnull",
-    "a1_null_rate_coverage",
-    "a2_distinct_counts",
-    "a9_grouped_coverage",
-    "a10_region_rollup",
-    "a13_uniqueness_violations",
     # window is now exactly 50
 ]
 

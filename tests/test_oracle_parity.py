@@ -76,29 +76,49 @@ def test_rows_only_queries_run(spark, name):
 
 
 def test_driver_window_ordering():
-    """Round-5 rotation: the seven never-externally-checked r4
+    """Round-5 rotation v2: the seven never-externally-checked r4
     post-window queries lead, then the oracle-upgraded drift query,
-    the three r5-changed queries, the r3-era cohort, and 11 of the
-    triple-green r1-r3 queries fill the 50-entry driver window."""
+    the seven r5-changed queries, every one of the 31 queries
+    REGISTERED this round (first external check beats
+    re-verification of green rows), and four stalest-re-verification
+    slots fill the 50-entry driver window."""
     from biosample_enricher_spark.queries import DRIVER_WINDOW, QUERIES
 
     names = list(QUERIES)
     assert names[: len(DRIVER_WINDOW)] == DRIVER_WINDOW
-    assert len(DRIVER_WINDOW) <= 50
+    assert len(DRIVER_WINDOW) == 50
     assert names[:7] == [
         "o5_offset_pagination", "j9_transition_counts",
         "a19_daily_active_users", "u6_union_missing_cols",
         "p11_stratified_sample", "a20_gapfill_daily", "p12_unpivot",
     ]
     assert names[7] == "drift_ks_by_partition"
+    # every query registered in round 5 gets its first external check
+    r5_new = (
+        "o6_keyset_pagination", "mix_corpus_weighted",
+        "a21_sliding_distinct", "drift_emd_nchars", "w8_rank_variants",
+        "a22_entropy_profile", "a23_outlier_zscore",
+        "dedup_ngram_jaccard", "a24_heavy_hitters", "w9_forward_fill",
+        "a25_skew_kurtosis", "streaming_sessionize", "a26_sequence_gaps",
+        "a27_benford_digits", "a28_exact_percentiles",
+        "u8_exists_subquery", "v1_order_reconciliation",
+        "v2_temporal_integrity", "v3_key_skew_profile",
+        "v4_table_fingerprint", "v5_functional_dependency",
+        "x6_decontamination", "x7_repetition_profile", "x8_pii_scan",
+        "x9_chunk_pack", "v6_bloom_referential", "sp1_span_offsets",
+        "fn1_funnel_stages", "er1_fuzzy_name_match",
+        "rt1_cohort_retention", "dedup_embedding_cc",
+    )
+    for q in r5_new:
+        assert names.index(q) < 50, q
+    # r5-changed outputs re-verified ahead of the new registrations
     for q in ("dedup_minhash_pairs", "ann_srp_topk",
               "dedup_lsh_cc_keepfirst", "dedup_simhash_pairs",
-              "a2_approx_distinct", "ann_ivf_topk",
-              "ann_ivf_build_probe", "dsl_validation_verdicts",
+              "a2_approx_distinct", "ann_ivf_topk", "ann_ivf_build_probe"):
+        assert names.index(q) < 16
+    # parked queries keep their prior green rows as the valid signal
+    for q in ("j3_referential_antijoin", "j4_tolerance_join",
               "f18_geo_loc_parse", "a13_uniqueness_violations"):
-        assert names.index(q) < 50
-    # displaced to parking by the r5-changed queries; prior rows valid
-    for q in ("j3_referential_antijoin", "j4_tolerance_join"):
         assert names.index(q) >= 50
 
 
