@@ -393,3 +393,28 @@ def test_bloom_probe_broadcasts_filter_row(spark):
     assert "BroadcastNestedLoopJoin" in p
     assert "LeftAnti" in p
     assert "SortMergeJoin" not in p
+
+
+def test_fuzzy_match_blocking_uses_hash_joins_only(spark):
+    """er1: the multi-pass blocking must be two hash equi-joins — an
+    OR-join would execute as a nested loop over all name pairs."""
+    p = plan(QUERIES["er1_fuzzy_name_match"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_funnel_is_joined_aggregates_not_window(spark):
+    """fn1: the funnel is chained keyed aggregates + equi-joins —
+    never a per-user window/sort over the full event stream."""
+    p = plan(QUERIES["fn1_funnel_stages"](spark, SF))
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+    assert "HashAggregate" in p
+
+
+def test_cohort_retention_has_no_cartesian(spark):
+    """rt1: cohort join-back and the day-0 base attach are keyed hash
+    joins; nothing degenerates to a cross product."""
+    p = plan(QUERIES["rt1_cohort_retention"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
