@@ -5101,6 +5101,71 @@ def rt1_cohort_retention(spark, sf_dir):
     )
 
 
+@q(
+    "streaming_interval_join",
+    """
+    SELECT v.user_id, v.ts AS view_ts, c.ts AS click_ts
+    FROM events v JOIN events c
+      ON v.user_id = c.user_id
+     AND v.event_type = 'view' AND c.event_type = 'click'
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 6 HOUR
+    ORDER BY v.user_id, view_ts, click_ts
+    """,
+)
+def streaming_interval_join(spark, sf_dir):
+    """Stream-stream watermarked interval join — every click within
+    6 hours after a view by the same user, computed by Structured
+    Streaming's symmetric-hash stream-stream join (both sides
+    watermarked; the range condition is what lets the state store
+    evict expired rows — unbounded state otherwise). The fourth
+    streaming surface beside row-scope validation, stateful
+    uniqueness, and session windows; exactly SQL-oracled by the
+    equivalent batch interval join (one availableNow microbatch
+    drains the file source, so no row is ever dropped as late and
+    append-mode inner-join output equals the batch join). Timestamp
+    cast discipline follows streaming_sessionize."""
+    schema = t(spark, sf_dir, "events").schema
+    stream = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.*")
+    views = (
+        stream.where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").cast("timestamp").alias("view_ts_i"),
+        )
+        .withWatermark("view_ts_i", "1 hour")
+    )
+    clicks = (
+        stream.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").cast("timestamp").alias("click_ts_i"),
+        )
+        .withWatermark("click_ts_i", "1 hour")
+    )
+    joined = views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("click_ts_i") >= F.col("view_ts_i"))
+        & (F.col("click_ts_i") <= F.col("view_ts_i") + F.expr("INTERVAL 6 HOURS")),
+    )
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    name = f"stream_ijoin_{sf_tag.replace('.', '_')}"
+    q_stream = (
+        joined.select(
+            F.col("v_user").alias("user_id"),
+            F.col("view_ts_i").cast("timestamp_ntz").alias("view_ts"),
+            F.col("click_ts_i").cast("timestamp_ntz").alias("click_ts"),
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_stream.awaitTermination()
+    return spark.table(name).orderBy("user_id", "view_ts", "click_ts")
+
+
 # --- driver CORRECTNESS window ordering ---------------------------------------
 #
 # The external driver oracle-checks the FIRST 50 registered queries per
@@ -5174,10 +5239,13 @@ DRIVER_WINDOW: list[str] = [
     #     four slots; every other r3-/r4-green query parks with its
     #     prior green rows as the valid external signal (the r4
     #     VERDICT's own accounting rule for rotated-out queries).
+    "streaming_interval_join",
+    # (5) the stalest re-verification candidates fill the remaining
+    #     three slots; every other r3-/r4-green query parks with its
+    #     prior green rows as the valid external signal.
     "dsl_validation_verdicts",
     "s3_tablesample",
     "p1_normalizing_projection",
-    "p2_multiformat_coordinates",
     # window is now exactly 50
 ]
 

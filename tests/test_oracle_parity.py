@@ -78,9 +78,9 @@ def test_rows_only_queries_run(spark, name):
 def test_driver_window_ordering():
     """Round-5 rotation v2: the seven never-externally-checked r4
     post-window queries lead, then the oracle-upgraded drift query,
-    the seven r5-changed queries, every one of the 31 queries
+    the seven r5-changed queries, every one of the 32 queries
     REGISTERED this round (first external check beats
-    re-verification of green rows), and four stalest-re-verification
+    re-verification of green rows), and three stalest-re-verification
     slots fill the 50-entry driver window."""
     from biosample_enricher_spark.queries import DRIVER_WINDOW, QUERIES
 
@@ -108,6 +108,7 @@ def test_driver_window_ordering():
         "x9_chunk_pack", "v6_bloom_referential", "sp1_span_offsets",
         "fn1_funnel_stages", "er1_fuzzy_name_match",
         "rt1_cohort_retention", "dedup_embedding_cc",
+        "streaming_interval_join",
     )
     for q in r5_new:
         assert names.index(q) < 50, q
@@ -118,7 +119,8 @@ def test_driver_window_ordering():
         assert names.index(q) < 16
     # parked queries keep their prior green rows as the valid signal
     for q in ("j3_referential_antijoin", "j4_tolerance_join",
-              "f18_geo_loc_parse", "a13_uniqueness_violations"):
+              "f18_geo_loc_parse", "a13_uniqueness_violations",
+              "p2_multiformat_coordinates"):
         assert names.index(q) >= 50
 
 
@@ -128,8 +130,8 @@ def test_registry_counts_match_docs():
     so they cannot silently drift from the registry (r3 verdict item
     #7). Whoever registers a query updates the asserts AND the three
     doc sites in the same commit."""
-    assert len(QUERIES) == 131
-    assert len(ORACLES) == 115
+    assert len(QUERIES) == 132
+    assert len(ORACLES) == 116
 
 
 def test_manual_sessionize_matches_builtin_session_window(spark):
