@@ -71,10 +71,17 @@ class ConstraintSuite:
         n_buckets: int = N_BUCKETS_DEFAULT,
         use_arrow_udf: bool = False,
         check_uniqueness: bool = True,
+        referential_mode: str = "broadcast",
+        bloom_m_bits: int = 1 << 24,
+        bloom_k: int = 5,
     ) -> None:
+        assert referential_mode in ("broadcast", "bloom")
         self.n_buckets = n_buckets
         self.use_arrow_udf = use_arrow_udf
         self.check_uniqueness = check_uniqueness
+        self.referential_mode = referential_mode
+        self.bloom_m_bits = bloom_m_bits
+        self.bloom_k = bloom_k
 
     # --- pieces -------------------------------------------------------------
 
@@ -141,12 +148,23 @@ class ConstraintSuite:
     def referential_violations(
         self, docs_p: DataFrame, asset_catalog: DataFrame
     ) -> DataFrame:
-        """Media refs with no catalog entry: broadcast left-anti join.
+        """Media refs with no catalog entry.
 
         Probe side is pruned to ``(partition_id, doc_id, pos,
-        media_ref)`` before the join; the catalog dimension is pruned to
-        its key and broadcast. Reference analog: cross-collection
-        ``$in`` membership lookups
+        media_ref)`` before the join; the catalog dimension is pruned
+        to its key. Two tiers, selected by ``referential_mode``:
+
+        - ``"broadcast"`` (default): exact broadcast left-anti join —
+          right while the catalog key set fits an exact broadcast.
+        - ``"bloom"``: the operators/bloom.py pre-filter tier for
+          catalogs past broadcast size (a 10⁹-key exact set is 8+
+          GB; the bloom is m/8 bytes — 2 MiB at the default 2²⁴
+          bits): bloom-failing refs are definite violations with
+          zero shuffle, bloom-passing refs are verified by the exact
+          anti-join. Output provably equals the broadcast tier
+          (equality pinned in tests/test_suite_ops.py).
+
+        Reference analog: cross-collection ``$in`` membership lookups
         (``/root/reference/biosample_enricher/adapters.py:610-640``).
         """
         # Project the two needed struct fields as parallel arrays BEFORE
@@ -173,9 +191,22 @@ class ConstraintSuite:
                 F.col("s.media_ref").alias("media_ref"),
             )
         )
-        dangling = media.join(
-            F.broadcast(asset_catalog.select("media_ref")), "media_ref", "left_anti"
-        )
+        catalog_keys = asset_catalog.select("media_ref")
+        if self.referential_mode == "bloom":
+            from ..operators.bloom import bloom_referential_violations
+
+            dangling = bloom_referential_violations(
+                media,
+                "media_ref",
+                catalog_keys,
+                "media_ref",
+                m_bits=self.bloom_m_bits,
+                k=self.bloom_k,
+            )
+        else:
+            dangling = media.join(
+                F.broadcast(catalog_keys), "media_ref", "left_anti"
+            )
         return dangling.select(
             "partition_id",
             "doc_id",

@@ -53,6 +53,11 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--synthesize", type=int, metavar="N_DOCS",
                    help="ignore --input path contents and synthesize N "
                         "documents deterministically (demo/bench mode)")
+    p.add_argument("--referential-bloom", action="store_true",
+                   help="referential check via the Bloom pre-filter "
+                        "tier (operators/bloom.py) instead of the exact "
+                        "broadcast anti-join — for catalogs past "
+                        "broadcast size; output provably identical")
     p.add_argument("--sketch-distinct", action="store_true",
                    help="write per-partition HLL distinct sketches for "
                         "doc_id to the <checkpoint>_sketches sidecar and "
@@ -84,7 +89,7 @@ def main(argv: list[str]) -> None:
     from biosample_enricher_spark.checkpoint import ResumableRun
     from biosample_enricher_spark.constraints import ConstraintSuite
     from biosample_enricher_spark.operators.drift import drift_check
-    from biosample_enricher_spark.synth import GenParams, gen_documents
+    from biosample_enricher_spark.synth import GenParams, gen_asset_catalog, gen_documents
 
     # under spark-submit the session/master is provided by the launcher
     spark = SparkSession.builder.getOrCreate()
@@ -114,13 +119,25 @@ def main(argv: list[str]) -> None:
         return
 
     if args.synthesize:
-        docs = gen_documents(spark, args.synthesize, GenParams(seed=42))
+        params = GenParams(seed=42)
+        docs = gen_documents(spark, args.synthesize, params)
+        # the generator's catalog is deterministic from the same params —
+        # synthesize it too so the referential tier (broadcast or bloom)
+        # is exercised unless the caller supplies an explicit catalog
+        catalog = (
+            spark.read.parquet(args.catalog)
+            if args.catalog
+            else gen_asset_catalog(spark, params)
+        )
     else:
         docs = spark.read.parquet(args.input)
-    catalog = spark.read.parquet(args.catalog) if args.catalog else None
+        catalog = spark.read.parquet(args.catalog) if args.catalog else None
 
-    suite = ConstraintSuite(n_buckets=args.n_buckets,
-                            use_arrow_udf=args.arrow_udf)
+    suite = ConstraintSuite(
+        n_buckets=args.n_buckets,
+        use_arrow_udf=args.arrow_udf,
+        referential_mode="bloom" if args.referential_bloom else "broadcast",
+    )
     run = ResumableRun(
         spark,
         args.checkpoint,

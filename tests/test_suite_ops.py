@@ -368,3 +368,27 @@ def test_funnel_causality_traps_on_planted_data(spark):
         3: (2, 10, 20, None),
         5: (2, 10, 25, None),
     }
+
+
+def test_bloom_referential_mode_equals_broadcast_mode(spark):
+    """The suite's bloom referential tier must emit exactly the
+    broadcast tier's violation rows on the dirty synthetic corpus
+    (dangling refs planted by the generator)."""
+    docs = gen_documents(spark, 600, GenParams(seed=4, n_assets=150))
+    cat = gen_asset_catalog(spark, GenParams(seed=4, n_assets=150))
+    exact = ConstraintSuite()
+    bloom = ConstraintSuite(referential_mode="bloom", bloom_m_bits=1 << 16)
+    key = lambda r: (r.partition_id, r.doc_id, r.field, r.message)
+    a = sorted(
+        key(r)
+        for r in exact.referential_violations(
+            exact.with_partition_id(docs), cat
+        ).collect()
+    )
+    b = sorted(
+        key(r)
+        for r in bloom.referential_violations(
+            bloom.with_partition_id(docs), cat
+        ).collect()
+    )
+    assert a and a == b
