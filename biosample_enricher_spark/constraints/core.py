@@ -75,7 +75,14 @@ class ConstraintSuite:
         bloom_m_bits: int = 1 << 24,
         bloom_k: int = 5,
     ) -> None:
-        assert referential_mode in ("broadcast", "bloom")
+        if referential_mode not in ("broadcast", "bloom"):
+            # ValueError, not assert: under python -O an assert is
+            # stripped and a typo would silently run the broadcast
+            # tier against the huge catalog the bloom tier exists for
+            raise ValueError(
+                f"referential_mode must be 'broadcast' or 'bloom', "
+                f"got {referential_mode!r}"
+            )
         self.n_buckets = n_buckets
         self.use_arrow_udf = use_arrow_udf
         self.check_uniqueness = check_uniqueness

@@ -5235,14 +5235,12 @@ DRIVER_WINDOW: list[str] = [
     "er1_fuzzy_name_match",
     "rt1_cohort_retention",
     "dedup_embedding_cc",
-    # (5) the stalest re-verification candidates fill the remaining
-    #     four slots; every other r3-/r4-green query parks with its
-    #     prior green rows as the valid external signal (the r4
-    #     VERDICT's own accounting rule for rotated-out queries).
     "streaming_interval_join",
+    # (end of group 4)
     # (5) the stalest re-verification candidates fill the remaining
     #     three slots; every other r3-/r4-green query parks with its
-    #     prior green rows as the valid external signal.
+    #     prior green rows as the valid external signal (the r4
+    #     VERDICT's own accounting rule for rotated-out queries).
     "dsl_validation_verdicts",
     "s3_tablesample",
     "p1_normalizing_projection",

@@ -78,6 +78,13 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         p.error("one of --input or --synthesize is required")
     if args.streaming and (not args.input or not args.violations_out):
         p.error("--streaming requires --input and --violations-out")
+    if args.referential_bloom and args.streaming:
+        p.error("--referential-bloom has no effect under --streaming "
+                "(the streaming tier runs row-scope constraints only)")
+    if args.referential_bloom and not (args.catalog or args.synthesize):
+        p.error("--referential-bloom requires a catalog source "
+                "(--catalog, or --synthesize which generates one) — "
+                "without one no referential check runs at all")
     return args
 
 
