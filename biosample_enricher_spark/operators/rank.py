@@ -31,7 +31,7 @@ table-scale frame.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -96,3 +96,56 @@ def distributed_rank(
         )
         .drop("_rk_bucket", "_rk_local", "_rk_off", "_rk_lo", "_rk_hi")
     )
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_structs: Column,
+    k: int,
+) -> DataFrame:
+    """Exact per-group top-k by MERGEABLE bounded aggregation — the
+    100-TB alternative to ``row_number() OVER (PARTITION BY group)``:
+    a window ranks by sorting EVERY row of every group; this keeps at
+    most k rows per (group, input partition) alive past the map side,
+    so the shuffle is bounded by k·|partitions|·|groups| regardless of
+    data size (top-k is a mergeable summary: merging per-partition
+    top-k lists and re-truncating is exactly the global top-k,
+    provided the order key is a total order — pass fully tie-broken
+    ``order_structs``).
+
+    ``order_structs``: a struct Column whose ASCENDING order puts the
+    WANTED rows LAST (e.g. ``struct(price, -id)`` for highest-price-
+    first with smallest-id tie-wins). Returns one row per kept input
+    row: ``group_cols + (rank, pick)`` where rank 1 = best and
+    ``pick`` is the ``order_structs`` value (callers unpack fields).
+
+    Stage 1 groups by (group, spark_partition_id()) — a map-side-local
+    key, so the collect_list never holds more than one input
+    partition's worth of one group (bounded memory), and its output is
+    ≤ k rows per such pair. Stage 2 merges the survivors per group.
+    """
+    pid = F.spark_partition_id().alias("_pid")
+    # descending sort + front slice: slice(arr, 1, k) on an array
+    # SHORTER than k returns the whole array, while the tail form
+    # slice(arr, -k, k) returns EMPTY and would silently drop every
+    # (group, partition) holding fewer than k rows
+    top_slice = F.slice(
+        F.sort_array(F.collect_list(F.col("_s")), asc=False), 1, k
+    )
+    partial = (
+        df.select(*group_cols, pid, order_structs.alias("_s"))
+        .groupBy(*group_cols, "_pid")
+        .agg(top_slice.alias("_top"))
+        .select(*group_cols, F.explode("_top").alias("_s"))
+    )
+    merged = (
+        partial.groupBy(*group_cols)
+        .agg(top_slice.alias("_top"))
+        .select(
+            *group_cols,
+            F.posexplode("_top").alias("_i", "pick"),
+        )
+        .select(*group_cols, (F.col("_i") + 1).alias("rank"), "pick")
+    )
+    return merged

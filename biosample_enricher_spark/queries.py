@@ -5166,6 +5166,98 @@ def streaming_interval_join(spark, sf_dir):
     return spark.table(name).orderBy("user_id", "view_ts", "click_ts")
 
 
+@q(
+    "a29_topk_agg_mergeable",
+    """
+    WITH r AS (
+      SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+             row_number() OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+             ) AS rank
+      FROM lineitem
+    )
+    SELECT l_returnflag, CAST(rank AS BIGINT) AS rank,
+           l_orderkey, l_linenumber, l_extendedprice
+    FROM r WHERE rank <= 3
+    ORDER BY l_returnflag, rank
+    """,
+)
+def a29_topk_agg_mergeable(spark, sf_dir):
+    """A29: exact per-group top-k by MERGEABLE bounded aggregation
+    (operators/rank.py topk_per_group) — the 100-TB tier next to
+    w2/a4's window form: a window ranks by sorting EVERY row of every
+    group, while this keeps ≤k rows per (group, input partition)
+    alive past the map side, bounding the shuffle at
+    k·|partitions|·|groups| at any data size (top-k is a mergeable
+    summary under a total order — ties fully broken by (orderkey,
+    linenumber)). The ORACLE is the textbook window row_number, so
+    the external row checks the merge-equals-global claim itself;
+    partitioning invariance pinned in tests/test_rank.py."""
+    from .operators.rank import topk_per_group
+
+    li = t(spark, sf_dir, "lineitem")
+    order = F.struct(
+        F.col("l_extendedprice").alias("p"),
+        (-F.col("l_orderkey")).alias("nok"),
+        (-F.col("l_linenumber")).alias("nln"),
+    )
+    top = topk_per_group(li, ["l_returnflag"], order, k=3)
+    return top.select(
+        "l_returnflag",
+        F.col("rank").cast("long").alias("rank"),
+        (-F.col("pick.nok")).alias("l_orderkey"),
+        (-F.col("pick.nln")).cast("int").alias("l_linenumber"),
+        F.col("pick.p").alias("l_extendedprice"),
+    ).orderBy("l_returnflag", "rank")
+
+
+@q(
+    "zo1_zorder_scan",
+    """
+    WITH m AS (
+      SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             l_partkey % 65536 AS x, l_suppkey % 65536 AS y
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           CAST((((x >> 0) & 1) << 0) | (((y >> 0) & 1) << 1) | (((x >> 1) & 1) << 2) | (((y >> 1) & 1) << 3) | (((x >> 2) & 1) << 4) | (((y >> 2) & 1) << 5) | (((x >> 3) & 1) << 6) | (((y >> 3) & 1) << 7) | (((x >> 4) & 1) << 8) | (((y >> 4) & 1) << 9) | (((x >> 5) & 1) << 10) | (((y >> 5) & 1) << 11) | (((x >> 6) & 1) << 12) | (((y >> 6) & 1) << 13) | (((x >> 7) & 1) << 14) | (((y >> 7) & 1) << 15) | (((x >> 8) & 1) << 16) | (((y >> 8) & 1) << 17) | (((x >> 9) & 1) << 18) | (((y >> 9) & 1) << 19) | (((x >> 10) & 1) << 20) | (((y >> 10) & 1) << 21) | (((x >> 11) & 1) << 22) | (((y >> 11) & 1) << 23) | (((x >> 12) & 1) << 24) | (((y >> 12) & 1) << 25) | (((x >> 13) & 1) << 26) | (((y >> 13) & 1) << 27) | (((x >> 14) & 1) << 28) | (((y >> 14) & 1) << 29) | (((x >> 15) & 1) << 30) | (((y >> 15) & 1) << 31) AS BIGINT) AS z_value
+    FROM m
+    ORDER BY z_value, l_orderkey, l_linenumber
+    LIMIT 200
+    """,
+)
+def zo1_zorder_scan(spark, sf_dir):
+    """ZO1: Morton/Z-order layout keys (operators/pack.py
+    zorder_key) — the space-filling-curve interleave behind
+    Delta/Iceberg Z-ORDER, built as pure constant-shift integer
+    expressions (exact in any engine; the oracle is the same
+    interleave unrolled in SQL). Sorting by this key is what
+    ``write_zordered`` uses to cluster rows close in BOTH
+    (l_partkey, l_suppkey) into the same files, making parquet
+    min/max footer stats selective for filters on EITHER column —
+    per-file disjoint z-ranges pinned in tests/test_pack.py. The
+    query emits the first 200 rows of the curve (TakeOrdered — no
+    global sort)."""
+    from .operators.pack import zorder_key
+
+    li = t(spark, sf_dir, "lineitem")
+    z = zorder_key(
+        F.col("l_partkey") % 65536, F.col("l_suppkey") % 65536
+    )
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            "l_suppkey",
+            z.alias("z_value"),
+        )
+        .orderBy("z_value", "l_orderkey", "l_linenumber")
+        .limit(200)
+    )
+
+
 # --- driver CORRECTNESS window ordering ---------------------------------------
 #
 # The external driver oracle-checks the FIRST 50 registered queries per
@@ -5236,14 +5328,14 @@ DRIVER_WINDOW: list[str] = [
     "rt1_cohort_retention",
     "dedup_embedding_cc",
     "streaming_interval_join",
-    # (end of group 4)
-    # (5) the stalest re-verification candidates fill the remaining
-    #     three slots; every other r3-/r4-green query parks with its
-    #     prior green rows as the valid external signal (the r4
-    #     VERDICT's own accounting rule for rotated-out queries).
+    "a29_topk_agg_mergeable",
+    "zo1_zorder_scan",
+    # (end of group 4 — 34 first-time checks)
+    # (5) the stalest re-verification candidate takes the remaining
+    #     slot; every other r3-/r4-green query parks with its prior
+    #     green rows as the valid external signal (the r4 VERDICT's
+    #     own accounting rule for rotated-out queries).
     "dsl_validation_verdicts",
-    "s3_tablesample",
-    "p1_normalizing_projection",
     # window is now exactly 50
 ]
 

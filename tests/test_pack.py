@@ -123,3 +123,64 @@ def test_fingerprint_detects_even_multiplicity_via_sum_tier(spark):
     c = _fp(spark, quad)
     assert (c[3], c[4]) == (a[3], a[4])  # xor_lo, xor_hi identical
     assert c[:3] != a[:3]  # n_rows / sum_lo differ
+
+
+def test_zorder_key_matches_python_interleave(spark):
+    import random
+
+    from biosample_enricher_spark.operators.pack import zorder_key
+
+    rng = random.Random(23)
+    rows = [(rng.randrange(0, 65536), rng.randrange(0, 65536)) for _ in range(500)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select(
+            "x", "y", zorder_key(F.col("x"), F.col("y")).alias("z")
+        ).collect()
+    }
+    for x, y in rows:
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        assert got[(x, y)] == z
+
+
+def test_write_zordered_files_own_disjoint_z_ranges(spark, tmp_path):
+    """The layout contract: after write_zordered, every parquet file
+    owns a z-range disjoint from every other file's (range
+    partitioning), so min/max footer stats prune scans."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from biosample_enricher_spark.operators.pack import write_zordered, zorder_key
+
+    df = (
+        spark.range(4000)
+        .selectExpr(
+            "id",
+            "CAST(id % 97 AS LONG) AS a",
+            "CAST((id * 31) % 89 AS LONG) AS b",
+        )
+    )
+    path = str(tmp_path / "zo")
+    write_zordered(df, path, "a", "b", n_files=6)
+
+    ranges = []
+    for f in glob.glob(f"{path}/part-*.parquet"):
+        t = pq.read_table(f, columns=["a", "b"])
+        zs = [
+            sum((((a >> i) & 1) << (2 * i)) | (((b >> i) & 1) << (2 * i + 1))
+                for i in range(16))
+            for a, b in zip(t.column("a").to_pylist(), t.column("b").to_pylist())
+        ]
+        if zs:
+            ranges.append((min(zs), max(zs)))
+    assert len(ranges) >= 3
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint (boundary value may touch)
+    # and the round trip loses nothing
+    assert spark.read.parquet(path).count() == 4000

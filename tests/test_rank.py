@@ -115,3 +115,37 @@ def test_rank_fuzz_against_sorted_enumerate(spark):
         assert got == exp
 
     check()
+
+
+def test_topk_per_group_partitioning_invariant_with_ties(spark):
+    """topk_per_group: the merge of per-partition top-k must equal the
+    global window top-k under ANY partitioning, including planted
+    boundary ties (the total order fully breaks them)."""
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from biosample_enricher_spark.operators.rank import topk_per_group
+
+    rng = random.Random(17)
+    # values drawn from a tiny range so rank-3 boundary ties are common
+    rows = [(f"g{i % 5}", rng.randrange(0, 8), i) for i in range(2000)]
+    df = spark.createDataFrame(rows, "grp string, val long, id long")
+    order = F.struct(F.col("val").alias("v"), (-F.col("id")).alias("nid"))
+
+    w = W.partitionBy("grp").orderBy(F.desc("val"), "id")
+    expected = {
+        (r.grp, r.rank, r.val, r.id)
+        for r in df.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 4)
+        .collect()
+    }
+    for parts in (1, 7, 64):
+        got = {
+            (r.grp, r.rank, r.pick.v, -r.pick.nid)
+            for r in topk_per_group(
+                df.repartition(parts), ["grp"], order, k=4
+            ).collect()
+        }
+        assert got == expected, parts
