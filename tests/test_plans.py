@@ -418,3 +418,20 @@ def test_cohort_retention_has_no_cartesian(spark):
     p = plan(QUERIES["rt1_cohort_retention"](spark, SF))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_topk_agg_has_no_window_and_two_agg_stages(spark):
+    """a29: the mergeable top-k must be two aggregate passes (partial
+    per (group, partition), merge per group) — never a Window sorting
+    every row of every group."""
+    p = plan(QUERIES["a29_topk_agg_mergeable"](spark, SF))
+    assert "Window" not in p
+    assert p.count("HashAggregate") + p.count("ObjectHashAggregate") >= 2
+
+
+def test_zorder_scan_uses_takeordered(spark):
+    """zo1: the first-200-of-the-curve query is a TakeOrdered — no
+    global sort; the z key is pure integer expressions (no Python)."""
+    p = plan(QUERIES["zo1_zorder_scan"](spark, SF))
+    assert "TakeOrderedAndProject" in p
+    assert "EvalPython" not in p
