@@ -101,6 +101,19 @@ SECTIONS = [
         "is the per-doc rollup keyed by doc_id.",
     ),
     (
+        "a29_topk_agg_mergeable — bounded mergeable top-k, no window",
+        "Two aggregate passes: partial top-k per (group, input "
+        "partition) map-side, merge per group — the shuffle carries "
+        "at most k rows per (group, partition) at any data size. A "
+        "window would sort every row of every group.",
+    ),
+    (
+        "zo1_zorder_scan — Z-order curve walk via TakeOrdered",
+        "The Morton key is constant-shift integer expressions folded "
+        "into the scan projection; first-200-of-the-curve is a "
+        "TakeOrdered, never a global sort.",
+    ),
+    (
         "v6_bloom_referential — Bloom pre-filter tier for referential",
         "The one-row bit-array filter (built by a bit_or aggregate "
         "bounded by m/64 words, not catalog size) attaches to the "
