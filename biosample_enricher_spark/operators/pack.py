@@ -100,7 +100,15 @@ def zorder_key(x: Column, y: Column, bits: int = 16) -> Column:
     that are close in BOTH dimensions into the same files, so parquet
     min/max row-group stats prune scans filtered on either column —
     the data-layout lever for 100-TB scans that no single-column sort
-    gives. ``write_zordered`` applies it to a writer."""
+    gives. ``write_zordered`` applies it to a writer.
+
+    ``bits`` is capped at 31: bit i of y lands at long position
+    2·i+1, so bits=32 would place y's top bit on the SIGN bit and
+    rows with y ≥ 2³¹ would sort NEGATIVE — before the entire rest
+    of the curve, silently breaking the clustering contract. Wider
+    coordinates must be bucketed (shifted) into ≤31 bits first."""
+    if not (1 <= bits <= 31):
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
     z = F.lit(0).cast("long")
     for i in range(bits):
         z = z.bitwiseOR(
@@ -125,12 +133,16 @@ def write_zordered(
     ``(x_col, y_col)``: range-partition on the interleaved key (files
     own disjoint z-ranges) and sort within partitions (row groups own
     narrow z-ranges), so both columns' min/max footer stats become
-    selective. The key column itself is not persisted."""
+    selective. The key column itself is not persisted (written under a
+    reserved temp name so a user column can never be clobbered)."""
+    zc = "_zorder_tmp_key"
+    if zc in df.columns:
+        raise ValueError(f"input already has a column named {zc!r}")
     (
-        df.withColumn("_z", zorder_key(F.col(x_col), F.col(y_col), bits))
-        .repartitionByRange(n_files, "_z")
-        .sortWithinPartitions("_z")
-        .drop("_z")
+        df.withColumn(zc, zorder_key(F.col(x_col), F.col(y_col), bits))
+        .repartitionByRange(n_files, zc)
+        .sortWithinPartitions(zc)
+        .drop(zc)
         .write.mode("overwrite")
         .parquet(path)
     )

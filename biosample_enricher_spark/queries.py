@@ -5184,31 +5184,38 @@ def streaming_interval_join(spark, sf_dir):
     """,
 )
 def a29_topk_agg_mergeable(spark, sf_dir):
-    """A29: exact per-group top-k by MERGEABLE bounded aggregation
+    """A29: exact per-group top-k with a genuinely bounded shuffle
     (operators/rank.py topk_per_group) — the 100-TB tier next to
-    w2/a4's window form: a window ranks by sorting EVERY row of every
-    group, while this keeps ≤k rows per (group, input partition)
-    alive past the map side, bounding the shuffle at
-    k·|partitions|·|groups| at any data size (top-k is a mergeable
-    summary under a total order — ties fully broken by (orderkey,
-    linenumber)). The ORACLE is the textbook window row_number, so
-    the external row checks the merge-equals-global claim itself;
-    partitioning invariance pinned in tests/test_rank.py."""
+    w2/a4's window form: stage 1 truncates to k rows per (group,
+    input partition) INSIDE each partition (mapInPandas, zero
+    shuffle — the freq.py Misra-Gries candidate-pass shape), so only
+    the ≤ k·P·G survivor frame is ever shuffled and windowed. The
+    ORACLE is the textbook window row_number, so the external row
+    checks the merge-equals-global claim itself; partitioning
+    invariance with planted boundary ties pinned in
+    tests/test_rank.py. Columns are pruned BEFORE the Arrow pass so
+    stage 1 moves only the 4 needed columns."""
     from .operators.rank import topk_per_group
 
-    li = t(spark, sf_dir, "lineitem")
-    order = F.struct(
-        F.col("l_extendedprice").alias("p"),
-        (-F.col("l_orderkey")).alias("nok"),
-        (-F.col("l_linenumber")).alias("nln"),
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
     )
-    top = topk_per_group(li, ["l_returnflag"], order, k=3)
+    top = topk_per_group(
+        li,
+        ["l_returnflag"],
+        [
+            ("l_extendedprice", False),
+            ("l_orderkey", True),
+            ("l_linenumber", True),
+        ],
+        k=3,
+    )
     return top.select(
         "l_returnflag",
         F.col("rank").cast("long").alias("rank"),
-        (-F.col("pick.nok")).alias("l_orderkey"),
-        (-F.col("pick.nln")).cast("int").alias("l_linenumber"),
-        F.col("pick.p").alias("l_extendedprice"),
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
     ).orderBy("l_returnflag", "rank")
 
 

@@ -101,11 +101,15 @@ SECTIONS = [
         "is the per-doc rollup keyed by doc_id.",
     ),
     (
-        "a29_topk_agg_mergeable — bounded mergeable top-k, no window",
-        "Two aggregate passes: partial top-k per (group, input "
-        "partition) map-side, merge per group — the shuffle carries "
-        "at most k rows per (group, partition) at any data size. A "
-        "window would sort every row of every group.",
+        "a29_topk_agg_mergeable — zero-shuffle truncation, bounded window",
+        "Stage 1 truncates to k rows per (group, partition) INSIDE "
+        "each partition (one MapInPandas, zero shuffle — the freq.py "
+        "MG candidate-pass shape); the plan's only hash exchange "
+        "carries the k-bounded survivor frame into its window. The "
+        "first draft's groupBy+collect_list form LOOKED equivalent "
+        "but its plan put the slice above the exchange — the whole "
+        "input crossed the wire inside partial_collect_list buffers; "
+        "the plan evidence caught the false claim.",
     ),
     (
         "zo1_zorder_scan — Z-order curve walk via TakeOrdered",

@@ -420,13 +420,18 @@ def test_cohort_retention_has_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in p
 
 
-def test_topk_agg_has_no_window_and_two_agg_stages(spark):
-    """a29: the mergeable top-k must be two aggregate passes (partial
-    per (group, partition), merge per group) — never a Window sorting
-    every row of every group."""
+def test_topk_agg_truncates_before_any_shuffle(spark):
+    """a29: stage 1 must be a zero-shuffle mapInPandas truncation —
+    exactly one MapInPandas, and exactly one hash exchange in the
+    whole plan (the ≤k·P·G survivor frame's window), so the full data
+    is never shuffled. The first draft's collect_list form showed why
+    this pin matters: its plan had the slice ABOVE the exchange, i.e.
+    the entire input crossed the wire inside partial_collect_list
+    buffers."""
     p = plan(QUERIES["a29_topk_agg_mergeable"](spark, SF))
-    assert "Window" not in p
-    assert p.count("HashAggregate") + p.count("ObjectHashAggregate") >= 2
+    assert p.count("MapInPandas") == 1
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Window" in p  # over the bounded survivor frame only
 
 
 def test_zorder_scan_uses_takeordered(spark):

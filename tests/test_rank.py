@@ -120,7 +120,10 @@ def test_rank_fuzz_against_sorted_enumerate(spark):
 def test_topk_per_group_partitioning_invariant_with_ties(spark):
     """topk_per_group: the merge of per-partition top-k must equal the
     global window top-k under ANY partitioning, including planted
-    boundary ties (the total order fully breaks them)."""
+    boundary ties and partitions holding fewer than k rows of a group
+    (the regression that killed the first draft twice: tail-slice
+    dropping short arrays, then partial_collect_list shipping
+    everything)."""
     import random
 
     from pyspark.sql import Window as W
@@ -129,10 +132,10 @@ def test_topk_per_group_partitioning_invariant_with_ties(spark):
     from biosample_enricher_spark.operators.rank import topk_per_group
 
     rng = random.Random(17)
-    # values drawn from a tiny range so rank-3 boundary ties are common
+    # values drawn from a tiny range so rank-boundary ties are common
     rows = [(f"g{i % 5}", rng.randrange(0, 8), i) for i in range(2000)]
     df = spark.createDataFrame(rows, "grp string, val long, id long")
-    order = F.struct(F.col("val").alias("v"), (-F.col("id")).alias("nid"))
+    order = [("val", False), ("id", True)]
 
     w = W.partitionBy("grp").orderBy(F.desc("val"), "id")
     expected = {
@@ -143,7 +146,7 @@ def test_topk_per_group_partitioning_invariant_with_ties(spark):
     }
     for parts in (1, 7, 64):
         got = {
-            (r.grp, r.rank, r.pick.v, -r.pick.nid)
+            (r.grp, r.rank, r.val, r.id)
             for r in topk_per_group(
                 df.repartition(parts), ["grp"], order, k=4
             ).collect()
