@@ -5265,6 +5265,104 @@ def zo1_zorder_scan(spark, sf_dir):
     )
 
 
+@q(
+    "drift_embedding_centroid",
+    """
+    WITH q AS (
+      SELECT vec_id % 2 AS split,
+             generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                  AS BIGINT) AS qv
+      FROM embeddings
+    ), wide AS (
+      SELECT dim,
+             CAST(sum(CASE WHEN split = 0 THEN qv ELSE 0 END) AS BIGINT)
+               AS sum_a,
+             CAST(sum(CASE WHEN split = 1 THEN qv ELSE 0 END) AS BIGINT)
+               AS sum_b
+      FROM q GROUP BY dim
+    ), counts AS (
+      SELECT CAST(count(CASE WHEN vec_id % 2 = 0 THEN 1 END) AS BIGINT)
+               AS n_a,
+             CAST(count(CASE WHEN vec_id % 2 = 1 THEN 1 END) AS BIGINT)
+               AS n_b
+      FROM embeddings
+    ), cosf AS (
+      SELECT round(
+               CAST(sum(CAST(sum_a AS HUGEINT) * sum_b) AS DOUBLE)
+               / (sqrt(CAST(sum(CAST(sum_a AS HUGEINT) * sum_a) AS DOUBLE))
+                  * sqrt(CAST(sum(CAST(sum_b AS HUGEINT) * sum_b) AS DOUBLE))),
+               9) AS cos_centroid
+      FROM wide
+    )
+    SELECT w.dim, w.sum_a, w.sum_b, c.n_a, c.n_b, f.cos_centroid
+    FROM wide w, counts c, cosf f
+    ORDER BY w.dim
+    """,
+)
+def drift_embedding_centroid(spark, sf_dir):
+    """Embedding-space drift — the vector-valued member of the drift
+    family (KS/TV/PSI/EMD cover scalar histograms; embedding spaces
+    drift as a direction): per-dimension centroid sufficient sums of
+    the two corpus halves as EXACT integers (elements quantized to
+    1e-6 — float→double widening, one IEEE multiply, exact floor: the
+    a23/a25 exact-integer-stats discipline lifted to vectors), plus
+    the cosine between the two centroid directions computed from
+    those integers (products in DECIMAL(38,0)/HUGEINT — a dim's
+    sum-product can reach ~6e16·64 near int64; the only float steps
+    are the final correctly-rounded sqrt/div, rounded 9dp on both
+    sides). Scale shape: posexplode fans out dim-elements but the
+    per-(split, dim) aggregate map-side-combines down to 2·d rows;
+    the cosine reduction runs on that d-row frame, and counts/cosine
+    attach back by broadcast."""
+    emb = t(spark, sf_dir, "embeddings")
+    q_rows = emb.select(
+        (F.col("vec_id") % 2).alias("split"),
+        F.posexplode("embedding").alias("dim", "val"),
+    ).select(
+        "split",
+        "dim",
+        F.floor(F.col("val").cast("double") * 1000000).cast("long").alias("qv"),
+    )
+    wide = q_rows.groupBy("dim").agg(
+        F.sum(F.when(F.col("split") == 0, F.col("qv")).otherwise(0)).alias(
+            "sum_a"
+        ),
+        F.sum(F.when(F.col("split") == 1, F.col("qv")).otherwise(0)).alias(
+            "sum_b"
+        ),
+    )
+    counts = emb.agg(
+        F.count(F.when(F.col("vec_id") % 2 == 0, 1)).alias("n_a"),
+        F.count(F.when(F.col("vec_id") % 2 == 1, 1)).alias("n_b"),
+    )
+    dec = "decimal(38,0)"
+    cosf = wide.agg(
+        F.round(
+            F.sum(F.col("sum_a").cast(dec) * F.col("sum_b")).cast("double")
+            / (
+                F.sqrt(
+                    F.sum(F.col("sum_a").cast(dec) * F.col("sum_a")).cast(
+                        "double"
+                    )
+                )
+                * F.sqrt(
+                    F.sum(F.col("sum_b").cast(dec) * F.col("sum_b")).cast(
+                        "double"
+                    )
+                )
+            ),
+            9,
+        ).alias("cos_centroid")
+    )
+    return (
+        wide.crossJoin(F.broadcast(counts))
+        .crossJoin(F.broadcast(cosf))
+        .select("dim", "sum_a", "sum_b", "n_a", "n_b", "cos_centroid")
+        .orderBy("dim")
+    )
+
+
 # --- driver CORRECTNESS window ordering ---------------------------------------
 #
 # The external driver oracle-checks the FIRST 50 registered queries per
@@ -5337,12 +5435,11 @@ DRIVER_WINDOW: list[str] = [
     "streaming_interval_join",
     "a29_topk_agg_mergeable",
     "zo1_zorder_scan",
-    # (end of group 4 — 34 first-time checks)
-    # (5) the stalest re-verification candidate takes the remaining
-    #     slot; every other r3-/r4-green query parks with its prior
-    #     green rows as the valid external signal (the r4 VERDICT's
-    #     own accounting rule for rotated-out queries).
-    "dsl_validation_verdicts",
+    "drift_embedding_centroid",
+    # (end of group 4 — all 35 queries registered this round get their
+    # first external check; every r3-/r4-green query parks with its
+    # prior green rows as the valid external signal — the r4 VERDICT's
+    # own accounting rule for rotated-out queries.)
     # window is now exactly 50
 ]
 

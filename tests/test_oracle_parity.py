@@ -78,10 +78,10 @@ def test_rows_only_queries_run(spark, name):
 def test_driver_window_ordering():
     """Round-5 rotation v2: the seven never-externally-checked r4
     post-window queries lead, then the oracle-upgraded drift query,
-    the seven r5-changed queries, every one of the 34 queries
+    the seven r5-changed queries, and every one of the 35 queries
     REGISTERED this round (first external check beats
-    re-verification of green rows), and one stalest-re-verification
-    slot fill the 50-entry driver window."""
+    re-verification of green rows) filling the 50-entry driver
+    window; all parked queries keep prior green rows as signal."""
     from biosample_enricher_spark.queries import DRIVER_WINDOW, QUERIES
 
     names = list(QUERIES)
@@ -109,7 +109,7 @@ def test_driver_window_ordering():
         "fn1_funnel_stages", "er1_fuzzy_name_match",
         "rt1_cohort_retention", "dedup_embedding_cc",
         "streaming_interval_join", "a29_topk_agg_mergeable",
-        "zo1_zorder_scan",
+        "zo1_zorder_scan", "drift_embedding_centroid",
     )
     for q in r5_new:
         assert names.index(q) < 50, q
@@ -122,7 +122,7 @@ def test_driver_window_ordering():
     for q in ("j3_referential_antijoin", "j4_tolerance_join",
               "f18_geo_loc_parse", "a13_uniqueness_violations",
               "p2_multiformat_coordinates", "s3_tablesample",
-              "p1_normalizing_projection"):
+              "p1_normalizing_projection", "dsl_validation_verdicts"):
         assert names.index(q) >= 50
 
 
@@ -132,8 +132,8 @@ def test_registry_counts_match_docs():
     so they cannot silently drift from the registry (r3 verdict item
     #7). Whoever registers a query updates the asserts AND the three
     doc sites in the same commit."""
-    assert len(QUERIES) == 134
-    assert len(ORACLES) == 118
+    assert len(QUERIES) == 135
+    assert len(ORACLES) == 119
 
 
 def test_manual_sessionize_matches_builtin_session_window(spark):
