@@ -5363,6 +5363,107 @@ def drift_embedding_centroid(spark, sf_dir):
     )
 
 
+@q(
+    "a31_trend_slope",
+    """
+    WITH p AS (
+      SELECT event_type,
+             CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS x,
+             CAST(floor(value * 1000000) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL
+    ), s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+      FROM p GROUP BY event_type
+    )
+    SELECT event_type, n, sx, sy,
+           CAST(sxy AS BIGINT) AS sxy, CAST(sxx AS BIGINT) AS sxx,
+           round(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                 / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE),
+                 9) AS slope_micro_per_day
+    FROM s ORDER BY event_type
+    """,
+)
+def a31_trend_slope(spark, sf_dir):
+    """A31: per-group least-squares trend slope — 'is this metric
+    drifting over time' as a single-pass mergeable aggregate: the
+    a18/a25 exact-integer-sufficient-stats discipline applied to
+    regression (x = day index, y = 1e-6-quantized value; slope =
+    (n·Σxy − Σx·Σy) / (n·Σxx − Σx²) from exact integers, products in
+    DECIMAL(38,0)/HUGEINT, one correctly-rounded division at the end,
+    9dp-rounded both sides). One map-side-combined groupBy over 5
+    groups; nothing but the 5-row frame leaves the partial
+    aggregates."""
+    p = t(spark, sf_dir, "events").where(F.col("value").isNotNull()).select(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01"))
+        .cast("long")
+        .alias("x"),
+        F.floor(F.col("value") * 1000000).cast("long").alias("y"),
+    )
+    dec = "decimal(38,0)"
+    s = p.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("_sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("_sxx"),
+    )
+    num = F.col("n").cast(dec) * F.col("_sxy") - F.col("sx").cast(dec) * F.col(
+        "sy"
+    )
+    den = F.col("n").cast(dec) * F.col("_sxx") - F.col("sx").cast(dec) * F.col(
+        "sx"
+    )
+    return s.select(
+        "event_type",
+        "n",
+        "sx",
+        "sy",
+        F.col("_sxy").cast("long").alias("sxy"),
+        F.col("_sxx").cast("long").alias("sxx"),
+        F.round(num.cast("double") / den.cast("double"), 9).alias(
+            "slope_micro_per_day"
+        ),
+    ).orderBy("event_type")
+
+
+@q(
+    "v7_k_anonymity",
+    """
+    SELECT coalesce(lang, '<NULL>') AS lang,
+           coalesce(source, '<NULL>') AS source,
+           CAST(count(*) AS BIGINT) AS group_n
+    FROM documents
+    GROUP BY 1, 2 HAVING count(*) < 5
+    ORDER BY lang, source
+    """,
+)
+def v7_k_anonymity(spark, sf_dir):
+    """V7: k-anonymity audit — quasi-identifier combinations (lang,
+    source) carried by fewer than k=5 documents, i.e. groups whose
+    members a release would re-identify (the privacy-side validation
+    check next to X8's PII pattern scan). Null QI values are their
+    own bucket (sentinel-coalesced identically in both engines). One
+    map-side-combined groupBy; output bounded by the QI-combination
+    count."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(
+            F.coalesce(F.col("lang"), F.lit("<NULL>")).alias("lang"),
+            F.coalesce(F.col("source"), F.lit("<NULL>")).alias("source"),
+        )
+        .agg(F.count(F.lit(1)).alias("group_n"))
+        .where(F.col("group_n") < 5)
+        .orderBy("lang", "source")
+    )
+
+
 # --- driver CORRECTNESS window ordering ---------------------------------------
 #
 # The external driver oracle-checks the FIRST 50 registered queries per
