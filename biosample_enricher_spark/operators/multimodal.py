@@ -130,3 +130,43 @@ def resize_stub(assets: DataFrame, max_side: int = 256) -> DataFrame:
     return assets.withColumn(
         "resized_width", F.ceil(F.col("width") * scale).cast("int")
     ).withColumn("resized_height", F.ceil(F.col("height") * scale).cast("int"))
+
+
+def frame_windows(
+    assets: DataFrame,
+    ref_col: str = "media_ref",
+    duration_col: str = "duration_ms",
+    every_ms: int = 5000,
+) -> DataFrame:
+    """Frame/window sampling plumbing for time-based media: one row per
+    fixed-width sampling window of each asset — ``(ref, frame_idx,
+    t_start_ms, t_end_ms)`` with the final window clamped to the
+    asset's duration. This is the REAL part of video frame sampling
+    (which timestamps to decode, how many rows fan out, how the work
+    partitions); the pixel/waveform decode of each window stays behind
+    the ``_fake_decode`` stub like every other decode in this module.
+
+    Pure Column expressions: ``posexplode(sequence(...))`` fans out
+    JVM-side — no Python, no shuffle; the row count is
+    ceil(duration/every_ms) per asset. Null/zero durations produce no
+    rows (nothing to sample)."""
+    d = F.col(duration_col).cast("long")
+    seq = F.sequence(
+        F.lit(0).cast("long"), d - 1, F.lit(every_ms).cast("long")
+    )
+    return (
+        assets.where(d > 0)
+        .select(
+            F.col(ref_col),
+            d.alias("_dur"),
+            F.posexplode(seq).alias("frame_idx", "t_start_ms"),
+        )
+        .select(
+            ref_col,
+            "frame_idx",
+            "t_start_ms",
+            F.least(
+                F.col("t_start_ms") + every_ms, F.col("_dur")
+            ).alias("t_end_ms"),
+        )
+    )

@@ -5464,6 +5464,67 @@ def v7_k_anonymity(spark, sf_dir):
     )
 
 
+@q(
+    "mm1_frame_windows",
+    """
+    WITH m AS (
+      SELECT 'asset-' || CAST(doc_id AS VARCHAR) AS media_ref,
+             1000 + CAST(CAST('0x' || substring(
+                 md5('asset-' || CAST(doc_id AS VARCHAR)), 1, 8)
+               AS UBIGINT) % 60000 AS BIGINT) AS duration_ms
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT media_ref,
+           CAST(generate_subscripts(range(0, duration_ms, 5000), 1) - 1
+                AS INT) AS frame_idx,
+           CAST(unnest(range(0, duration_ms, 5000)) AS BIGINT) AS t_start_ms,
+           CAST(least(unnest(range(0, duration_ms, 5000)) + 5000,
+                      duration_ms) AS BIGINT) AS t_end_ms
+    FROM m
+    ORDER BY media_ref, frame_idx
+    """,
+)
+def mm1_frame_windows(spark, sf_dir):
+    """MM1: media frame/window sampling plumbing
+    (operators/multimodal.py frame_windows) — which timestamps of
+    each time-based asset to decode, as one row per fixed 5 s window
+    with the tail clamped to the asset duration. A deterministic
+    media catalog is manufactured from the driver table identically
+    in both engines (portable md5-hex durations, 1-61 s), so the
+    external row checks the fan-out arithmetic itself — Spark's
+    INCLUSIVE sequence(0, d-1, step) against DuckDB's EXCLUSIVE
+    range(0, d, step), the same window set. Pure JVM-side
+    posexplode(sequence(...)): no Python, no shuffle before the
+    presentation sort; the decode of each emitted window stays
+    behind the module's clearly-marked stub."""
+    from .operators.multimodal import frame_windows
+
+    m = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 3 == 0)
+        .select(
+            F.concat(F.lit("asset-"), F.col("doc_id").cast("string")).alias(
+                "media_ref"
+            )
+        )
+        .select(
+            "media_ref",
+            (
+                F.lit(1000)
+                + F.pmod(
+                    F.conv(
+                        F.substring(F.md5(F.col("media_ref")), 1, 8), 16, 10
+                    ).cast("long"),
+                    F.lit(60000),
+                )
+            ).alias("duration_ms"),
+        )
+    )
+    return frame_windows(m, "media_ref", "duration_ms", every_ms=5000).orderBy(
+        "media_ref", "frame_idx"
+    )
+
+
 # --- driver CORRECTNESS window ordering ---------------------------------------
 #
 # The external driver oracle-checks the FIRST 50 registered queries per

@@ -50,3 +50,25 @@ def test_resize_geometry(spark):
             assert r.resized_height >= r.resized_width
         # never upscale
         assert r.resized_width <= r.width and r.resized_height <= r.height
+
+
+def test_frame_windows_fanout_and_clamp(spark):
+    """frame_windows: ceil(duration/step) rows per asset, tail window
+    clamped, zero/null durations emit nothing."""
+    from pyspark.sql import functions as F
+
+    from biosample_enricher_spark.operators.multimodal import frame_windows
+
+    rows = [("a", 12000), ("b", 5000), ("c", 4999), ("d", 0), ("e", None), ("f", 1)]
+    df = spark.createDataFrame(rows, "media_ref string, duration_ms long")
+    got = {}
+    for r in frame_windows(df, every_ms=5000).collect():
+        got.setdefault(r.media_ref, []).append(
+            (r.frame_idx, r.t_start_ms, r.t_end_ms)
+        )
+    assert got == {
+        "a": [(0, 0, 5000), (1, 5000, 10000), (2, 10000, 12000)],
+        "b": [(0, 0, 5000)],
+        "c": [(0, 0, 4999)],
+        "f": [(0, 0, 1)],
+    }
