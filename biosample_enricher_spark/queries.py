@@ -5288,11 +5288,13 @@ def zo1_zorder_scan(spark, sf_dir):
                AS n_b
       FROM embeddings
     ), cosf AS (
-      SELECT round(
+      SELECT CASE WHEN sum(CAST(sum_a AS HUGEINT) * sum_a) = 0
+                    OR sum(CAST(sum_b AS HUGEINT) * sum_b) = 0 THEN NULL
+             ELSE round(
                CAST(sum(CAST(sum_a AS HUGEINT) * sum_b) AS DOUBLE)
                / (sqrt(CAST(sum(CAST(sum_a AS HUGEINT) * sum_a) AS DOUBLE))
                   * sqrt(CAST(sum(CAST(sum_b AS HUGEINT) * sum_b) AS DOUBLE))),
-               9) AS cos_centroid
+               9) END AS cos_centroid
       FROM wide
     )
     SELECT w.dim, w.sum_a, w.sum_b, c.n_a, c.n_b, f.cos_centroid
@@ -5337,22 +5339,18 @@ def drift_embedding_centroid(spark, sf_dir):
         F.count(F.when(F.col("vec_id") % 2 == 1, 1)).alias("n_b"),
     )
     dec = "decimal(38,0)"
+    na2 = F.sum(F.col("sum_a").cast(dec) * F.col("sum_a"))
+    nb2 = F.sum(F.col("sum_b").cast(dec) * F.col("sum_b"))
+    # explicit zero-norm guard on BOTH sides (DuckDB >= 1.1 returns
+    # inf for x/0 where Spark returns NULL — see a31)
     cosf = wide.agg(
-        F.round(
-            F.sum(F.col("sum_a").cast(dec) * F.col("sum_b")).cast("double")
-            / (
-                F.sqrt(
-                    F.sum(F.col("sum_a").cast(dec) * F.col("sum_a")).cast(
-                        "double"
-                    )
-                )
-                * F.sqrt(
-                    F.sum(F.col("sum_b").cast(dec) * F.col("sum_b")).cast(
-                        "double"
-                    )
-                )
+        F.when(
+            (na2 != 0) & (nb2 != 0),
+            F.round(
+                F.sum(F.col("sum_a").cast(dec) * F.col("sum_b")).cast("double")
+                / (F.sqrt(na2.cast("double")) * F.sqrt(nb2.cast("double"))),
+                9,
             ),
-            9,
         ).alias("cos_centroid")
     )
     return (
@@ -5383,9 +5381,10 @@ def drift_embedding_centroid(spark, sf_dir):
     )
     SELECT event_type, n, sx, sy,
            CAST(sxy AS BIGINT) AS sxy, CAST(sxx AS BIGINT) AS sxx,
-           round(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
-                 / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE),
-                 9) AS slope_micro_per_day
+           CASE WHEN n * sxx - CAST(sx AS HUGEINT) * sx = 0 THEN NULL
+                ELSE round(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                      / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE),
+                      9) END AS slope_micro_per_day
     FROM s ORDER BY event_type
     """,
 )
@@ -5420,6 +5419,9 @@ def a31_trend_slope(spark, sf_dir):
     den = F.col("n").cast(dec) * F.col("_sxx") - F.col("sx").cast(dec) * F.col(
         "sx"
     )
+    # EXPLICIT zero-denominator guard on BOTH sides: Spark's x/0 is
+    # NULL but DuckDB >= 1.1 returns inf (ieee_floating_point_ops) —
+    # an engine-version-dependent divergence unless both emit NULL
     return s.select(
         "event_type",
         "n",
@@ -5427,9 +5429,9 @@ def a31_trend_slope(spark, sf_dir):
         "sy",
         F.col("_sxy").cast("long").alias("sxy"),
         F.col("_sxx").cast("long").alias("sxx"),
-        F.round(num.cast("double") / den.cast("double"), 9).alias(
-            "slope_micro_per_day"
-        ),
+        F.when(
+            den != 0, F.round(num.cast("double") / den.cast("double"), 9)
+        ).alias("slope_micro_per_day"),
     ).orderBy("event_type")
 
 
