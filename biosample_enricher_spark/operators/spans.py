@@ -68,3 +68,59 @@ def normalize_offsets(spans: Column) -> Column:
             o.cast("int").alias("offset"),
         ),
     )
+
+
+def overlap_count(spans: Column) -> Column:
+    """Number of OVERLAPPING span pairs in a document's span array, as
+    a per-row long — the interval-consistency audit on the interleaved
+    shape (spans that claim the same stream positions corrupt
+    training-chunk assembly the way mis-ordered offsets do; this is
+    the pairwise complement of the monotonicity check in
+    constraints/exprs.py offset_ordering).
+
+    Each span occupies the half-open interval ``[offset, offset +
+    stream_length)`` (text → char length, media → 1 placeholder — the
+    same ``span_lengths`` convention normalize_offsets repairs with).
+    Intervals are sorted by (start, end); for start-sorted intervals,
+    some pair overlaps iff some ADJACENT pair overlaps (if every
+    ``end_i ≤ start_{i+1}`` then for any i<j, ``end_i ≤ start_{i+1} ≤
+    start_j``), so one zip of the sorted array against its shift
+    counts exactly the adjacent overlaps — O(k log k) per row instead
+    of O(k²) pairs. Touching spans (``end == next start``) do NOT
+    overlap (half-open), and ZERO-LENGTH spans (empty intervals —
+    e.g. null-text spans) are dropped before the sort: an empty
+    interval intersects nothing, and keeping it would also break the
+    adjacency argument (an empty interval sandwiched inside a genuine
+    overlap would sever the adjacent chain). Pure higher-order Column
+    expressions: per-row, JVM-side, zero shuffle, no Python. Counts
+    ADJACENT overlapping pairs — as an audit verdict use ``> 0`` (a
+    chain of k mutually-overlapping spans reports k-1, not C(k,2))."""
+    iv = F.array_sort(
+        F.filter(
+            F.zip_with(
+                F.transform(spans, lambda s: s["offset"].cast("long")),
+                span_lengths(spans),
+                lambda o, ln: F.struct(o.alias("s"), (o + ln).alias("e")),
+            ),
+            lambda i: i["e"] > i["s"],
+        )
+    )
+
+    def adjacent_overlaps(a: Column) -> Column:
+        n = F.size(a)
+        return F.aggregate(
+            F.zip_with(
+                F.slice(a, F.lit(1), n - 1),
+                F.slice(a, F.lit(2), n - 1),
+                lambda p, nx: F.when(p["e"] > nx["s"], F.lit(1)).otherwise(
+                    F.lit(0)
+                ),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    # let-bind the sorted interval array once (dedup._ngrams idiom)
+    return F.when(F.size(iv) < 2, F.lit(0).cast("long")).otherwise(
+        F.get(F.transform(F.array(iv), adjacent_overlaps), 0)
+    )

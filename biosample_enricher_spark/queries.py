@@ -5527,6 +5527,483 @@ def mm1_frame_windows(spark, sf_dir):
     )
 
 
+# =====================================================================
+# round-5d additions — post-window, lead the r6 rotation
+# =====================================================================
+
+_X10_HOSTS = [
+    "Example.COM",
+    "news.site.org",
+    "blog.example.com",
+    "WWW.Example.com",
+    "cdn.assets.net",
+]
+
+
+@q(
+    "x10_url_profile",
+    r"""
+    WITH u AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 5 AS INT)
+               WHEN 0 THEN 'Example.COM'
+               WHEN 1 THEN 'news.site.org'
+               WHEN 2 THEN 'blog.example.com'
+               WHEN 3 THEN 'WWW.Example.com'
+               ELSE 'cdn.assets.net' END AS host_raw,
+             '/p/' || CAST(doc_id % 50 AS VARCHAR) AS path
+      FROM documents
+    ), c AS (
+      SELECT regexp_replace(lower(host_raw), '^www\.', '') AS domain,
+             'https://' || regexp_replace(lower(host_raw), '^www\.', '')
+               || path AS canon_url
+      FROM u
+    ), g AS (
+      SELECT domain,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT canon_url) AS BIGINT) AS n_urls
+      FROM c GROUP BY domain
+    )
+    SELECT domain, n_docs, n_urls,
+           CAST(n_docs - n_urls AS BIGINT) AS n_dup_docs,
+           CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER () AS DOUBLE)
+             AS doc_share
+    FROM g ORDER BY domain
+    """,
+)
+def x10_url_profile(spark, sf_dir):
+    """X10: URL canonicalization + registered-domain rollup — the
+    corpus-curation staple for web-crawl training data: normalize each
+    document's source URL (lowercase host, strip a leading ``www.``,
+    drop the query string) and roll up per domain with a
+    canonical-URL dedup count and corpus share (domain-share caps and
+    URL-level dedup are the first two filters of every crawl
+    pipeline). A deterministic URL catalog is manufactured from the
+    driver table identically in both engines (host case variants +
+    tracking-parameter suffixes are planted so canonicalization
+    provably merges them: 'Example.COM' and 'WWW.Example.com' must
+    land in one domain bucket, and ``doc_id % 50`` path collisions
+    make n_urls < n_docs). Scale shape: pure scan expressions + one
+    map-side-combined groupBy(domain); the share window runs over the
+    domain-cardinality output frame, not the corpus. doc_share is one
+    exact-integer division — bit-identical across engines."""
+    d = t(spark, sf_dir, "documents")
+    host_raw = F.element_at(
+        F.array(*[F.lit(h) for h in _X10_HOSTS]),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    domain = F.regexp_replace(F.lower(host_raw), r"^www\.", "")
+    canon = F.concat(
+        F.lit("https://"),
+        domain,
+        F.lit("/p/"),
+        (F.col("doc_id") % 50).cast("string"),
+    )
+    g = (
+        d.select(domain.alias("domain"), canon.alias("canon_url"))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("canon_url").alias("n_urls"),
+        )
+    )
+    share = F.col("n_docs").cast("double") / F.sum("n_docs").over(
+        W.partitionBy()
+    ).cast("double")
+    return g.select(
+        "domain",
+        "n_docs",
+        "n_urls",
+        (F.col("n_docs") - F.col("n_urls")).alias("n_dup_docs"),
+        share.alias("doc_share"),
+    ).orderBy("domain")
+
+
+@q(
+    "v8_snapshot_diff",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100.0) AS BIGINT) AS cents,
+             o_orderstatus AS st
+      FROM orders
+    ), old AS (
+      SELECT k, md5(CAST(cents AS VARCHAR) || '|' || st) AS fp
+      FROM base WHERE k % 97 <> 3
+    ), new AS (
+      SELECT k, md5(CAST(cents + CASE WHEN k % 13 = 0 THEN 500 ELSE 0 END
+                         AS VARCHAR) || '|' || st) AS fp
+      FROM base WHERE k % 89 <> 5
+    )
+    SELECT status, CAST(count(*) AS BIGINT) AS n_keys FROM (
+      SELECT CASE WHEN o.fp IS NULL THEN 'added'
+                  WHEN n.fp IS NULL THEN 'removed'
+                  WHEN o.fp <> n.fp THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM old o FULL OUTER JOIN new n ON o.k = n.k
+    ) GROUP BY status ORDER BY status
+    """,
+)
+def v8_snapshot_diff(spark, sf_dir):
+    """V8: snapshot diff — classify every key across two versions of a
+    keyed table as added / removed / changed / unchanged
+    (operators/profile.py snapshot_diff), the "what did this pipeline
+    run change" audit that v4_table_fingerprint's single-checksum
+    answer escalates into when the checksums differ. Two versions are
+    manufactured deterministically from the driver table in both
+    engines (k%97 rows exist only in the new version, k%89 only in
+    the old, k%13 rows change price by 500 cents); fingerprints are
+    md5 over exact BIGINT cents (the v1 floor-cents discipline — no
+    float in any verdict). Scale shape: both sides prune to
+    key+fingerprint at the scan, one full-outer sort-merge join
+    hash-partitioned on the key, then a 4-group rollup."""
+    from .operators.profile import snapshot_diff
+
+    base = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100.0).cast("long").alias("cents"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    old = base.where(F.col("k") % 97 != 3)
+    new = base.where(F.col("k") % 89 != 5).withColumn(
+        "cents",
+        F.col("cents")
+        + F.when(F.col("k") % 13 == 0, F.lit(500)).otherwise(F.lit(0)),
+    )
+    fp = F.md5(F.concat_ws("|", F.col("cents").cast("string"), F.col("st")))
+    return (
+        snapshot_diff(old, new, ["k"], fp)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+        .orderBy("status")
+    )
+
+
+@q(
+    "sp2_span_overlap",
+    """
+    SELECT doc_id,
+           4 AS n_spans,
+           CAST(CASE WHEN gap < 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS n_overlaps,
+           (gap < 0) AS has_overlap
+    FROM (
+      SELECT doc_id,
+             CAST(CAST('0x' || substring(
+                 md5('sp2g-' || CAST(doc_id AS VARCHAR)), 1, 8)
+               AS UBIGINT) AS BIGINT) % 7 - 3 AS gap
+      FROM documents
+    ) ORDER BY doc_id
+    """,
+)
+def sp2_span_overlap(spark, sf_dir):
+    """SP2: span-overlap audit on the interleaved payload
+    (operators/spans.py overlap_count) — spans claiming the same
+    stream positions corrupt training-chunk assembly; this is the
+    pairwise-interval complement of the offset-ordering check sp1
+    repairs. Each driver row is lifted into a 4-span interleaved doc
+    (two text spans whose gap is an md5-derived value in [-3, 3] —
+    negative gap = planted overlap — plus a media span and a third
+    text span placed strictly clear, in deliberately unsorted array
+    order so the operator's array_sort matters). The engine runs the
+    GENERAL sorted-adjacent interval check over the constructed
+    array — pure higher-order Columns, per-row, zero shuffle — while
+    the oracle derives the overlap verdict in closed form from the
+    same md5 math, externally checking the interval machinery
+    itself. Touching spans (end == next start, gap 0) must NOT count
+    (half-open intervals) — gap 0 rows pin that boundary."""
+    from .operators.spans import overlap_count
+
+    d = t(spark, sf_dir, "documents")
+
+    def h(tag: str) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(tag), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    len1 = h("sp2a-") % 40 + 1
+    gap = h("sp2g-") % 7 - 3
+    len2 = h("sp2b-") % 40 + 1
+    start2 = F.greatest(F.lit(0).cast("long"), len1 + gap)
+    end2 = start2 + len2
+    far = F.greatest(len1, end2) + 2
+
+    def text_span(length: F.Column, offset: F.Column) -> F.Column:
+        return F.struct(
+            F.lit("text").alias("kind"),
+            F.repeat(F.lit("x"), length.cast("int")).alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            offset.cast("int").alias("offset"),
+        )
+
+    media_span = F.struct(
+        F.lit("image").alias("kind"),
+        F.lit(None).cast("string").alias("text"),
+        F.concat(F.lit("img-"), F.col("doc_id").cast("string")).alias(
+            "media_ref"
+        ),
+        (far + 10).cast("int").alias("offset"),
+    )
+    spans = F.array(
+        text_span(F.lit(5).cast("long"), far),  # deliberately unsorted
+        media_span,
+        text_span(len1, F.lit(0).cast("long")),
+        text_span(len2, start2),
+    )
+    n_over = overlap_count(spans)
+    return d.select(
+        "doc_id",
+        F.lit(4).alias("n_spans"),
+        n_over.alias("n_overlaps"),
+        (n_over > 0).alias("has_overlap"),
+    ).orderBy("doc_id")
+
+
+@q(
+    "j10_salted_skew_join",
+    """
+    WITH dim AS (
+      SELECT o_orderkey AS k, o_orderpriority AS prio
+      FROM orders WHERE o_orderkey % 10 <> 0
+      UNION ALL SELECT 0, 'HOT'
+    ), fact AS (
+      SELECT CASE WHEN l_orderkey % 10 = 0 THEN 0 ELSE l_orderkey END AS k,
+             CAST(floor(l_quantity * 100.0) AS BIGINT) AS qty_c
+      FROM lineitem
+    )
+    SELECT prio,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(qty_c) AS BIGINT) AS sum_qty_c
+    FROM fact JOIN dim USING (k)
+    GROUP BY prio ORDER BY prio
+    """,
+)
+def j10_salted_skew_join(spark, sf_dir):
+    """J10: skew-salted equi-join (operators/joins.py salted_join) —
+    10% of the fact table is remapped onto ONE hot key, the planted
+    version of the skew v3_key_skew_profile detects; a plain
+    hash-partitioned join would put every hot row on one reducer (the
+    100-TB straggler). The engine replicates the dim side across 8
+    salt shards and routes each fact row to a deterministic shard
+    (pmod(xxhash64(orderkey, linenumber), 8)), so the hot key fans
+    out 8 ways while the joined multiset stays EXACTLY the unsalted
+    join — which is what the oracle computes (plain join + rollup),
+    so the external row checks the salting's correctness argument
+    itself. Sums are exact BIGINT cents (floor-cents discipline); a
+    shuffle_merge hint keeps the salted exchange real at test scale
+    where the dim would auto-broadcast (broadcast makes skew moot at
+    dim sizes that fit; salting is the beyond-broadcast tier)."""
+    from .operators.joins import salted_join
+
+    dim = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 10 != 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        .unionAll(
+            spark.range(1).select(
+                F.lit(0).cast("long").alias("k"), F.lit("HOT").alias("prio")
+            )
+        )
+    )
+    fact = t(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 10 == 0, F.lit(0).cast("long"))
+        .otherwise(F.col("l_orderkey"))
+        .alias("k"),
+        F.floor(F.col("l_quantity") * 100.0).cast("long").alias("qty_c"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    joined = salted_join(
+        fact, dim, "k", salt_on=["l_orderkey", "l_linenumber"], n_salts=8
+    )
+    return (
+        joined.groupBy("prio")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("qty_c").alias("sum_qty_c"),
+        )
+        .orderBy("prio")
+    )
+
+
+@q(
+    "x11_tfidf_terms",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, lang, {_TOKS_SQL} AS tk
+      FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+    ), nl AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+      FROM docs GROUP BY lang
+    ), terms AS (
+      SELECT lang, doc_id, unnest(tk) AS term FROM docs
+    ), pt AS (
+      SELECT lang, term,
+             CAST(count(*) AS BIGINT) AS tf,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM terms GROUP BY lang, term
+    ), r AS (
+      SELECT pt.lang, term, tf, df, n_docs,
+             CAST(row_number() OVER (
+               PARTITION BY pt.lang ORDER BY df DESC, tf DESC, term
+             ) AS INT) AS rank
+      FROM pt JOIN nl ON pt.lang = nl.lang
+    )
+    SELECT lang, term, tf, df, rank,
+           round(ln((n_docs + 1.0) / (df + 1.0)), 9) AS idf_9dp,
+           round(tf * ln((n_docs + 1.0) / (df + 1.0)), 9) AS tfidf_9dp
+    FROM r WHERE rank <= 5
+    ORDER BY lang, rank
+    """,
+)
+def x11_tfidf_terms(spark, sf_dir):
+    """X11: per-language term/document-frequency profile with TF-IDF
+    annotation — the vocabulary/stopword profile a corpus-curation
+    pipeline derives before filtering (reference analog: the
+    token-level text statistics family beside lang-id and quality
+    scoring, operators/text.py). Tokenization is the engine's shared
+    cross-engine ``ascii_word_tokens``; tf = collection frequency,
+    df = document frequency per (lang, term). Top-5 terms per lang
+    are ranked by EXACT integer keys (df desc, tf desc, term) — NOT
+    by the float tf-idf score, whose 1-ulp ln() divergence between
+    libm builds could flip ranks at a rounding boundary (the a22
+    lesson applied to ordering, not just values); idf/tfidf are
+    annotated, rounded 9dp on both sides (ln is the only libm
+    surface, same discipline as a22's entropy). Scale shape: explode
+    → two-stage (lang, term) agg; the per-lang top-5 runs through
+    topk_per_group (operators/rank.py) — zero-shuffle per-partition
+    truncation + a window over the bounded survivor frame, never a
+    window over the vocabulary."""
+    from .operators.rank import topk_per_group
+    from .operators.text import ascii_word_tokens
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull() & F.col("lang").isNotNull())
+        .select(
+            "doc_id", "lang", ascii_word_tokens(F.col("text")).alias("tk")
+        )
+    )
+    nl = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    pt = (
+        docs.select("lang", "doc_id", F.explode("tk").alias("term"))
+        .groupBy("lang", "term")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+    )
+    top = topk_per_group(
+        pt, ["lang"], [("df", False), ("tf", False), ("term", True)], k=5
+    )
+    idf_raw = F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+    return (
+        top.join(F.broadcast(nl), "lang")
+        .select(
+            "lang",
+            "term",
+            "tf",
+            "df",
+            F.col("rank").cast("int").alias("rank"),
+            F.round(idf_raw, 9).alias("idf_9dp"),
+            F.round(F.col("tf") * idf_raw, 9).alias("tfidf_9dp"),
+        )
+        .orderBy("lang", "rank")
+    )
+
+
+@q(
+    "a32_winsorized_stats",
+    """
+    WITH v AS (
+      SELECT l_returnflag AS rf,
+             CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS c
+      FROM lineitem
+    ), r AS (
+      SELECT rf, c,
+             row_number() OVER (PARTITION BY rf ORDER BY c) AS rn,
+             count(*) OVER (PARTITION BY rf) AS n
+      FROM v
+    ), b AS (
+      SELECT rf, CAST(max(n) AS BIGINT) AS n,
+             max(CASE WHEN rn = (n + 19) // 20 THEN c END) AS lo_c,
+             max(CASE WHEN rn = (19 * n + 19) // 20 THEN c END) AS hi_c
+      FROM r GROUP BY rf
+    )
+    SELECT b.rf AS l_returnflag,
+           b.n AS n_rows, b.lo_c, b.hi_c,
+           CAST(sum(least(greatest(v.c, b.lo_c), b.hi_c)) AS BIGINT)
+             AS wins_sum_c,
+           CAST(sum(least(greatest(v.c, b.lo_c), b.hi_c)) AS DOUBLE)
+             / CAST(b.n AS DOUBLE) AS wins_mean_c
+    FROM v JOIN b ON v.rf = b.rf
+    GROUP BY b.rf, b.n, b.lo_c, b.hi_c
+    ORDER BY l_returnflag
+    """,
+)
+def a32_winsorized_stats(spark, sf_dir):
+    """A32: winsorized robust statistics — per-group mean after
+    clamping to the exact [p05, p95] order statistics, the
+    outlier-robust tier beside a23's z-score flags (a23 REPORTS
+    outliers; winsorization bounds their influence on the statistic).
+    Percentile bounds are RANK-defined — value at row_number
+    ceil(0.05·n) / ceil(0.95·n), pure integer arithmetic via the SQL
+    ``div`` operator — not interpolated (interpolation is the 1-ulp
+    cross-engine surface a28 had to round away; rank selection has no
+    float at all). All values are exact BIGINT cents; the clamped sum
+    is exact; the mean is ONE correctly-rounded division of two
+    exact integers — bit-identical across engines. Scale shape: the
+    per-group rank needs a per-group sort (the same explicit trade as
+    a28's exact-percentile tier — the 100-TB path is the sketch in
+    a16); bounds collapse to one row per group, broadcast back, and
+    the clamped rollup is map-side combined."""
+    v = t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("rf"),
+        F.floor(F.col("l_extendedprice") * 100.0).cast("long").alias("c"),
+    )
+    r = v.select(
+        "rf",
+        "c",
+        F.row_number().over(W.partitionBy("rf").orderBy("c")).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("rf")).alias("n"),
+    )
+    b = r.groupBy("rf").agg(
+        F.max("n").alias("n"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 19) div 20"), F.col("c"))
+        ).alias("lo_c"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(19 * n + 19) div 20"), F.col("c"))
+        ).alias("hi_c"),
+    )
+    clamped = F.least(F.greatest(F.col("c"), F.col("lo_c")), F.col("hi_c"))
+    return (
+        v.join(F.broadcast(b), "rf")
+        .groupBy("rf", "n", "lo_c", "hi_c")
+        .agg(F.sum(clamped).alias("wins_sum_c"))
+        .select(
+            F.col("rf").alias("l_returnflag"),
+            F.col("n").alias("n_rows"),
+            "lo_c",
+            "hi_c",
+            "wins_sum_c",
+            (F.col("wins_sum_c").cast("double") / F.col("n").cast("double")).alias(
+                "wins_mean_c"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # --- driver CORRECTNESS window ordering ---------------------------------------
 #
 # The external driver oracle-checks the FIRST 50 registered queries per

@@ -440,3 +440,54 @@ def test_zorder_scan_uses_takeordered(spark):
     p = plan(QUERIES["zo1_zorder_scan"](spark, SF))
     assert "TakeOrderedAndProject" in p
     assert "EvalPython" not in p
+
+
+def test_salted_join_salts_the_exchange_key(spark):
+    """j10: the join must be a shuffled join keyed on (k, _salt_) —
+    the salt IS the skew mechanism, so it must appear in the
+    hash-partitioning expression; no broadcast (the hint keeps the
+    test-scale dim honest about the beyond-broadcast tier)."""
+    p = plan(QUERIES["j10_salted_skew_join"](spark, SF))
+    assert "_salt_" in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    assert "BroadcastHashJoin" not in p
+
+
+def test_span_overlap_is_shuffle_free_per_row(spark):
+    """sp2: the interval audit is pure per-row HOF work — no hash
+    exchange, no window, no join; only the presentation sort's range
+    partitioning."""
+    p = plan(QUERIES["sp2_span_overlap"](spark, SF))
+    assert "Exchange hashpartitioning" not in p
+    assert "Window" not in p and "Join" not in p
+    assert "EvalPython" not in p
+
+
+def test_snapshot_diff_prunes_to_key_and_fingerprint(spark):
+    """v8: both version scans prune to the fingerprint inputs (key +
+    cents + status — never the full orders row), and the diff is one
+    keyed join, no cartesian."""
+    p = plan(QUERIES["v8_snapshot_diff"](spark, SF))
+    read_schemas = [s[:200] for s in p.split("ReadSchema:")[1:]]
+    for rs in read_schemas:
+        assert "o_orderdate" not in rs and "o_custkey" not in rs
+    assert "CartesianProduct" not in p
+
+
+def test_tfidf_topk_is_bounded_like_a29(spark):
+    """x11: the per-lang top-5 must run through the mergeable
+    truncation (one MapInPandas) — never a window over the whole
+    (lang, term) vocabulary frame."""
+    p = plan(QUERIES["x11_tfidf_terms"](spark, SF))
+    assert p.count("MapInPandas") == 1
+    assert "BroadcastHashJoin" in p  # n_docs-per-lang attach
+
+
+def test_winsorized_bounds_broadcast_back(spark):
+    """a32: the per-group bounds frame (one row per group) attaches by
+    broadcast; the clamped rollup is a hash aggregate, and the only
+    sort-heavy step is the explicit exact-rank window."""
+    p = plan(QUERIES["a32_winsorized_stats"](spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "HashAggregate" in p
+    assert "CartesianProduct" not in p

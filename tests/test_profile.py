@@ -5,6 +5,7 @@ profiling, and example values."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from biosample_enricher_spark.operators.profile import schema_profile
@@ -90,3 +91,47 @@ def test_profile_on_span_corpus(spark):
     assert n_spans > 200  # multiple spans per doc
     # seeded null kinds → coverage below 100
     assert p["spans[].kind"].coverage_pct < 100.0
+
+
+def test_snapshot_diff_statuses(spark):
+    from biosample_enricher_spark.operators.profile import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "CHANGED"), (4, "d")], "k long, v string"
+    )
+    got = {
+        r.k: r.status
+        for r in snapshot_diff(old, new, ["k"], F.col("v")).collect()
+    }
+    assert got == {
+        1: "removed", 2: "unchanged", 3: "changed", 4: "added"
+    }
+
+
+def test_snapshot_diff_composite_key_and_guard(spark):
+    import pytest
+
+    from biosample_enricher_spark.operators.profile import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "x", 10), (1, "y", 20)], "k1 long, k2 string, v long"
+    )
+    new = spark.createDataFrame(
+        [(1, "x", 10), (1, "z", 30)], "k1 long, k2 string, v long"
+    )
+    got = {
+        (r.k1, r.k2): r.status
+        for r in snapshot_diff(
+            old, new, ["k1", "k2"], F.col("v").cast("string")
+        ).collect()
+    }
+    assert got == {
+        (1, "x"): "unchanged", (1, "y"): "removed", (1, "z"): "added"
+    }
+    with pytest.raises(ValueError, match="reserved"):
+        snapshot_diff(
+            old.withColumn("_fp_old", F.lit(1)), new, ["k1"], F.col("v")
+        )

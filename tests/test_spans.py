@@ -108,3 +108,70 @@ def test_repair_leaves_only_zero_length_ties(spark):
         .collect()
     )
     assert all("not increasing" in r.message for r in leftover)
+
+
+SPAN_SCHEMA = (
+    "doc_id long, spans array<struct<"
+    "kind string, text string, media_ref string, offset int>>"
+)
+
+
+def _span(kind, text, media_ref, offset):
+    return {
+        "kind": kind, "text": text, "media_ref": media_ref, "offset": offset
+    }
+
+
+def _txt(n, offset):
+    return _span("text", "x" * n, None, offset)
+
+
+def test_overlap_count_planted_cases(spark):
+    from biosample_enricher_spark.operators.spans import overlap_count
+
+    rows = [
+        # (doc_id, spans, expected adjacent-overlap count)
+        (0, [], 0),                                  # empty
+        (1, [_txt(5, 0)], 0),                        # single span
+        (2, [_txt(5, 0), _txt(5, 5)], 0),            # touching: half-open
+        (3, [_txt(5, 0), _txt(5, 4)], 1),            # 1-char overlap
+        (4, [_txt(10, 0), _txt(10, 5), _txt(10, 12)], 2),  # chain
+        (5, [_txt(5, 20), _txt(5, 0), _txt(5, 3)], 1),     # unsorted input
+        # media span occupies ONE position: [7, 8) overlaps text [0, 8)
+        (6, [_txt(8, 0), _span("image", None, "img", 7)], 1),
+        # media at the touching boundary [8, 9): no overlap
+        (7, [_txt(8, 0), _span("image", None, "img", 8)], 0),
+        # null text counts as length 0: [3, 3) empty interval, no overlap
+        (8, [_txt(5, 0), _span("text", None, None, 3)], 0),
+        # empty interval inside a genuine overlap must not sever the
+        # adjacent chain (it is filtered before the sort)
+        (10, [_txt(10, 0), _span("text", None, None, 5), _txt(3, 6)], 1),
+        # duplicate identical spans DO overlap
+        (9, [_txt(5, 2), _txt(5, 2)], 1),
+    ]
+    df = spark.createDataFrame(
+        [(d, s) for d, s, _ in rows], SPAN_SCHEMA
+    )
+    got = {
+        r.doc_id: r.n
+        for r in df.select(
+            "doc_id", overlap_count(F.col("spans")).alias("n")
+        ).collect()
+    }
+    for doc_id, _, want in rows:
+        assert got[doc_id] == want, f"doc {doc_id}: {got[doc_id]} != {want}"
+
+
+def test_overlap_count_zero_after_normalize(spark):
+    """Repair then audit: normalize_offsets lays spans back-to-back,
+    so the overlap audit must read 0 for every doc whose spans all
+    have positive stream length (zero-length spans produce empty
+    intervals that never overlap either)."""
+    from biosample_enricher_spark.operators.spans import overlap_count
+
+    docs = _dirty_docs(spark)
+    repaired = docs.select(
+        "doc_id", normalize_offsets(F.col("spans")).alias("spans")
+    )
+    bad = repaired.where(overlap_count(F.col("spans")) > 0).count()
+    assert bad == 0

@@ -392,3 +392,52 @@ def test_bloom_referential_mode_equals_broadcast_mode(spark):
         ).collect()
     )
     assert a and a == b
+
+
+def test_winsorized_stats_match_numpy(spark):
+    """a32's rank-defined winsorization (clamp at the ceil(0.05n)-th /
+    ceil(0.95n)-th order statistics) against a direct numpy model on
+    random integers — formula independence for the query's window +
+    conditional-agg composition."""
+    import math
+    import random
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    rows = [(f"g{i % 3}", rng.randrange(-1000, 100000)) for i in range(5000)]
+    df = spark.createDataFrame(rows, "rf string, c long")
+
+    from pyspark.sql import Window as W
+
+    r = df.select(
+        "rf", "c",
+        F.row_number().over(W.partitionBy("rf").orderBy("c")).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("rf")).alias("n"),
+    )
+    b = r.groupBy("rf").agg(
+        F.max("n").alias("n"),
+        F.max(F.when(F.col("rn") == F.expr("(n + 19) div 20"), F.col("c"))).alias("lo"),
+        F.max(F.when(F.col("rn") == F.expr("(19 * n + 19) div 20"), F.col("c"))).alias("hi"),
+    )
+    got = {
+        row.rf: (row.lo, row.hi, row.s)
+        for row in df.join(b, "rf")
+        .groupBy("rf")
+        .agg(
+            F.max("lo").alias("lo"), F.max("hi").alias("hi"),
+            F.sum(F.least(F.greatest("c", "lo"), "hi")).alias("s"),
+        )
+        .collect()
+    }
+    by_g: dict[str, list[int]] = {}
+    for g, c in rows:
+        by_g.setdefault(g, []).append(c)
+    for g, vals in by_g.items():
+        a = np.sort(np.asarray(vals, dtype=np.int64))
+        n = len(a)
+        lo = a[math.ceil(0.05 * n) - 1]
+        hi = a[math.ceil(0.95 * n) - 1]
+        s = int(np.clip(a, lo, hi).sum())
+        assert got[g] == (lo, hi, s), g
