@@ -62,6 +62,10 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    if n_salts < 1:
+        # pmod(x, 0) is a mid-job arithmetic error under ANSI and a
+        # silent NULL salt (empty inner join) without it — fail early.
+        raise ValueError(f"n_salts must be >= 1, got {n_salts}")
     for side, df in (("fact", fact), ("dim", dim)):
         if SALT_COL in df.columns:
             raise ValueError(

@@ -146,9 +146,13 @@ def snapshot_diff(
 
     ``fingerprint`` is a Column evaluated against each side's rows
     (caller decides portability: exact-integer casts for floats, etc.
-    — the same cents discipline as v1). Keys must be unique per side
-    (a versioned table's primary key); equality of fingerprints is
-    equality of compared content.
+    — the same cents discipline as v1). A NULL fingerprint is a
+    legitimate value: presence is tracked by explicit per-side marker
+    columns, never inferred from fingerprint nullness, and two NULL
+    fingerprints compare 'unchanged' / NULL-vs-non-NULL compares
+    'changed' (null-safe ``eqNullSafe``). Keys must be unique per
+    side (a versioned table's primary key); equality of fingerprints
+    is equality of compared content.
 
     Scale shape: one full-outer sort-merge join hash-partitioned on
     the key — linear, no skew term beyond the key distribution itself
@@ -156,16 +160,22 @@ def snapshot_diff(
     prune to key + fingerprint inputs only.
     """
     for side, df in (("old", old), ("new", new)):
-        for c in ("_fp_old", "_fp_new"):
+        for c in ("_fp_old", "_fp_new", "_in_old", "_in_new"):
             if c in df.columns:
                 raise ValueError(f"{side} side carries reserved column {c!r}")
-    o = old.select(*keys, fingerprint.alias("_fp_old"))
-    n = new.select(*keys, fingerprint.alias("_fp_new"))
+    o = old.select(
+        *keys, fingerprint.alias("_fp_old"), F.lit(True).alias("_in_old")
+    )
+    n = new.select(
+        *keys, fingerprint.alias("_fp_new"), F.lit(True).alias("_in_new")
+    )
     joined = o.join(n, on=keys, how="full_outer")
     status = (
-        F.when(F.col("_fp_old").isNull(), F.lit("added"))
-        .when(F.col("_fp_new").isNull(), F.lit("removed"))
-        .when(F.col("_fp_old") != F.col("_fp_new"), F.lit("changed"))
-        .otherwise(F.lit("unchanged"))
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(
+            F.col("_fp_old").eqNullSafe(F.col("_fp_new")), F.lit("unchanged")
+        )
+        .otherwise(F.lit("changed"))
     )
     return joined.select(*keys, status.alias("status"))

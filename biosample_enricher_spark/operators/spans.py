@@ -71,8 +71,12 @@ def normalize_offsets(spans: Column) -> Column:
 
 
 def overlap_count(spans: Column) -> Column:
-    """Number of OVERLAPPING span pairs in a document's span array, as
-    a per-row long — the interval-consistency audit on the interleaved
+    """Number of ADJACENT overlapping span pairs (after sorting by
+    interval start) in a document's span array, as a per-row long —
+    NOT the total C(k,2) pair count: a chain of k mutually-overlapping
+    spans reports k-1 (use ``> 0`` as the audit verdict; the adjacency
+    theorem below makes that verdict exact). This is
+    the interval-consistency audit on the interleaved
     shape (spans that claim the same stream positions corrupt
     training-chunk assembly the way mis-ordered offsets do; this is
     the pairwise complement of the monotonicity check in
@@ -92,9 +96,7 @@ def overlap_count(spans: Column) -> Column:
     interval intersects nothing, and keeping it would also break the
     adjacency argument (an empty interval sandwiched inside a genuine
     overlap would sever the adjacent chain). Pure higher-order Column
-    expressions: per-row, JVM-side, zero shuffle, no Python. Counts
-    ADJACENT overlapping pairs — as an audit verdict use ``> 0`` (a
-    chain of k mutually-overlapping spans reports k-1, not C(k,2))."""
+    expressions: per-row, JVM-side, zero shuffle, no Python."""
     iv = F.array_sort(
         F.filter(
             F.zip_with(

@@ -5551,12 +5551,15 @@ _X10_HOSTS = [
                WHEN 2 THEN 'blog.example.com'
                WHEN 3 THEN 'WWW.Example.com'
                ELSE 'cdn.assets.net' END AS host_raw,
-             '/p/' || CAST(doc_id % 50 AS VARCHAR) AS path
+             '/p/' || CAST(doc_id % 50 AS VARCHAR)
+               || CASE WHEN doc_id % 3 = 0
+                       THEN '?utm_source=feed&ref=' || CAST(doc_id AS VARCHAR)
+                       ELSE '' END AS path
       FROM documents
     ), c AS (
       SELECT regexp_replace(lower(host_raw), '^www\.', '') AS domain,
              'https://' || regexp_replace(lower(host_raw), '^www\.', '')
-               || path AS canon_url
+               || regexp_replace(path, '\?.*$', '') AS canon_url
       FROM u
     ), g AS (
       SELECT domain,
@@ -5572,18 +5575,23 @@ _X10_HOSTS = [
     """,
 )
 def x10_url_profile(spark, sf_dir):
-    """X10: URL canonicalization + registered-domain rollup — the
+    """X10: URL canonicalization + host-domain rollup — the
     corpus-curation staple for web-crawl training data: normalize each
     document's source URL (lowercase host, strip a leading ``www.``,
     drop the query string) and roll up per domain with a
     canonical-URL dedup count and corpus share (domain-share caps and
     URL-level dedup are the first two filters of every crawl
-    pipeline). A deterministic URL catalog is manufactured from the
+    pipeline). Rollup key = the canonicalized HOST (eTLD+1
+    registered-domain grouping would need the public-suffix list —
+    out of scope; 'blog.example.com' deliberately stays its own
+    bucket). A deterministic URL catalog is manufactured from the
     driver table identically in both engines (host case variants +
-    tracking-parameter suffixes are planted so canonicalization
-    provably merges them: 'Example.COM' and 'WWW.Example.com' must
-    land in one domain bucket, and ``doc_id % 50`` path collisions
-    make n_urls < n_docs). Scale shape: pure scan expressions + one
+    planted ``?utm_source=...&ref=<doc_id>`` tracking suffixes on
+    every third row, so canonicalization provably merges them:
+    'Example.COM' and 'WWW.Example.com' must land in one domain
+    bucket, the per-row-unique ``ref=`` param must NOT split
+    canonical URLs, and ``doc_id % 50`` path collisions make
+    n_urls < n_docs). Scale shape: pure scan expressions + one
     map-side-combined groupBy(domain); the share window runs over the
     domain-cardinality output frame, not the corpus. doc_share is one
     exact-integer division — bit-identical across engines."""
@@ -5593,11 +5601,20 @@ def x10_url_profile(spark, sf_dir):
         (F.col("doc_id") % 5 + 1).cast("int"),
     )
     domain = F.regexp_replace(F.lower(host_raw), r"^www\.", "")
+    raw_path = F.concat(
+        F.lit("/p/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&ref="), F.col("doc_id").cast("string")
+            ),
+        ).otherwise(F.lit("")),
+    )
     canon = F.concat(
         F.lit("https://"),
         domain,
-        F.lit("/p/"),
-        (F.col("doc_id") % 50).cast("string"),
+        F.regexp_replace(raw_path, r"\?.*$", ""),
     )
     g = (
         d.select(domain.alias("domain"), canon.alias("canon_url"))
@@ -5628,11 +5645,13 @@ def x10_url_profile(spark, sf_dir):
              o_orderstatus AS st
       FROM orders
     ), old AS (
-      SELECT k, md5(CAST(cents AS VARCHAR) || '|' || st) AS fp
+      SELECT k, md5(concat_ws('|', CAST(cents AS VARCHAR), st)) AS fp
       FROM base WHERE k % 97 <> 3
     ), new AS (
-      SELECT k, md5(CAST(cents + CASE WHEN k % 13 = 0 THEN 500 ELSE 0 END
-                         AS VARCHAR) || '|' || st) AS fp
+      SELECT k,
+             md5(concat_ws('|',
+                 CAST(cents + CASE WHEN k % 13 = 0 THEN 500 ELSE 0 END
+                      AS VARCHAR), st)) AS fp
       FROM base WHERE k % 89 <> 5
     )
     SELECT status, CAST(count(*) AS BIGINT) AS n_keys FROM (
@@ -5685,7 +5704,7 @@ def v8_snapshot_diff(spark, sf_dir):
     SELECT doc_id,
            4 AS n_spans,
            CAST(CASE WHEN gap < 0 THEN 1 ELSE 0 END AS BIGINT)
-             AS n_overlaps,
+             AS n_adj_overlaps,
            (gap < 0) AS has_overlap
     FROM (
       SELECT doc_id,
@@ -5760,7 +5779,7 @@ def sp2_span_overlap(spark, sf_dir):
     return d.select(
         "doc_id",
         F.lit(4).alias("n_spans"),
-        n_over.alias("n_overlaps"),
+        n_over.alias("n_adj_overlaps"),
         (n_over > 0).alias("has_overlap"),
     ).orderBy("doc_id")
 

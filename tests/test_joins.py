@@ -88,6 +88,12 @@ def test_salt_column_reserved_guard(spark):
         salted_join(
             _skewed_fact(spark), _dim(spark), "k", salt_on=["row_id"], how="full"
         )
+    # n_salts=0 would be REMAINDER_BY_ZERO mid-job (ANSI) or a silent
+    # NULL-salt empty join (non-ANSI) — must fail at call time instead
+    with pytest.raises(ValueError, match="n_salts"):
+        salted_join(
+            _skewed_fact(spark), _dim(spark), "k", salt_on=["row_id"], n_salts=0
+        )
 
 
 def test_salted_plan_joins_on_salt_and_spreads_hot_key(spark):

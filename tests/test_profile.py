@@ -135,3 +135,29 @@ def test_snapshot_diff_composite_key_and_guard(spark):
         snapshot_diff(
             old.withColumn("_fp_old", F.lit(1)), new, ["k1"], F.col("v")
         )
+
+
+def test_snapshot_diff_null_fingerprints(spark):
+    """Presence is tracked by explicit marker columns, never inferred
+    from fingerprint nullness: a NULL fingerprint on a present key
+    must compare null-safely (NULL↔NULL unchanged, NULL↔value
+    changed), not read as 'added'/'removed' (r5d review finding)."""
+    from biosample_enricher_spark.operators.profile import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, "b"), (3, None), (4, "gone")], "k long, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, None), (5, None)], "k long, v string"
+    )
+    got = {
+        r.k: r.status
+        for r in snapshot_diff(old, new, ["k"], F.col("v")).collect()
+    }
+    assert got == {
+        1: "changed",    # NULL → 'x'
+        2: "changed",    # 'b' → NULL
+        3: "unchanged",  # NULL ↔ NULL, both present
+        4: "removed",
+        5: "added",      # present only in new, even with NULL fp
+    }

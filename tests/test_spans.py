@@ -136,6 +136,10 @@ def test_overlap_count_planted_cases(spark):
         (2, [_txt(5, 0), _txt(5, 5)], 0),            # touching: half-open
         (3, [_txt(5, 0), _txt(5, 4)], 1),            # 1-char overlap
         (4, [_txt(10, 0), _txt(10, 5), _txt(10, 12)], 2),  # chain
+        # 3 MUTUALLY overlapping spans: C(3,2)=3 pairs but the
+        # operator's contract is ADJACENT pairs after sorting → 2
+        # (the audit verdict >0 is what's exact, not the magnitude)
+        (11, [_txt(10, 0), _txt(10, 1), _txt(10, 2)], 2),
         (5, [_txt(5, 20), _txt(5, 0), _txt(5, 3)], 1),     # unsorted input
         # media span occupies ONE position: [7, 8) overlaps text [0, 8)
         (6, [_txt(8, 0), _span("image", None, "img", 7)], 1),
