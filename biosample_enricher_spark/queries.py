@@ -6023,6 +6023,511 @@ def a32_winsorized_stats(spark, sf_dir):
     )
 
 
+# =====================================================================
+# round-5e additions — post-window, r6 rotation priority
+# =====================================================================
+
+
+@q(
+    "v9_scd2_history",
+    """
+    WITH src AS (
+      SELECT o_custkey AS k, o_orderpriority AS attr,
+             o_orderdate AS ts, o_orderkey AS seq
+      FROM orders
+    ), chg AS (
+      SELECT k, attr, ts, seq, lag(attr) OVER w AS prev_attr
+      FROM src WINDOW w AS (PARTITION BY k ORDER BY ts, seq)
+    ), v AS (
+      SELECT k, attr, ts AS valid_from, seq
+      FROM chg WHERE prev_attr IS NULL OR attr <> prev_attr
+    )
+    SELECT k AS custkey, attr AS prio,
+           CAST(row_number() OVER w2 AS INT) AS version,
+           valid_from,
+           lead(valid_from) OVER w2 AS valid_to,
+           (lead(valid_from) OVER w2 IS NULL) AS is_current
+    FROM v WINDOW w2 AS (PARTITION BY k ORDER BY valid_from, seq)
+    ORDER BY custkey, version
+    """,
+)
+def v9_scd2_history(spark, sf_dir):
+    """V9: SCD type-2 history build — turn a keyed change stream into
+    versioned validity intervals (valid_from / valid_to / is_current),
+    the warehouse-dimension staple and the audit shape behind "when
+    did this attribute change". True SCD2 semantics: consecutive rows
+    with the SAME attribute value collapse into one version (only
+    change rows open a new interval — lag() change detection), then
+    lead() over the surviving change rows closes each interval; the
+    open interval is the current version. Fully tie-broken
+    (o_orderdate, o_orderkey) so version numbering is deterministic
+    in both engines; values are dates and strings carried verbatim —
+    zero float surface. Scale shape: both windows partition BY KEY
+    (hash-parallel, never a global sort); the change filter shrinks
+    the second window's input to the change-row subset."""
+    src = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderpriority").alias("attr"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("seq"),
+    )
+    w1 = W.partitionBy("k").orderBy("ts", "seq")
+    chg = src.withColumn("prev_attr", F.lag("attr").over(w1))
+    v = chg.where(
+        F.col("prev_attr").isNull() | (F.col("attr") != F.col("prev_attr"))
+    ).select("k", "attr", F.col("ts").alias("valid_from"), "seq")
+    w2 = W.partitionBy("k").orderBy("valid_from", "seq")
+    return (
+        v.select(
+            F.col("k").alias("custkey"),
+            F.col("attr").alias("prio"),
+            F.row_number().over(w2).cast("int").alias("version"),
+            "valid_from",
+            F.lead("valid_from").over(w2).alias("valid_to"),
+            F.lead("valid_from").over(w2).isNull().alias("is_current"),
+        )
+        .orderBy("custkey", "version")
+    )
+
+
+@q(
+    "a33_time_weighted_avg",
+    """
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CAST(floor(value * 100.0) AS BIGINT) AS val_c
+      FROM events WHERE value IS NOT NULL
+    ), d AS (
+      SELECT user_id, val_c,
+             epoch_us(lead(ts) OVER w) - epoch_us(ts) AS dur_us
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_intervals,
+             CAST(sum(dur_us) AS BIGINT) AS total_dur_us,
+             sum(CAST(dur_us AS HUGEINT) * val_c) AS wsum
+      FROM d WHERE dur_us IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, n_intervals, total_dur_us,
+           CASE WHEN total_dur_us > 0
+                THEN CAST(wsum AS DOUBLE) / CAST(total_dur_us AS DOUBLE)
+                ELSE NULL END AS twa_value_c
+    FROM s ORDER BY user_id
+    """,
+)
+def a33_time_weighted_avg(spark, sf_dir):
+    """A33: time-weighted average — the metric mean where each
+    observation is held until the NEXT observation (sensor/price/state
+    semantics), not the row mean: TWA = Σ(duration × value) /
+    Σ(duration) per user. Durations are exact integer microseconds
+    (unix_micros of the lead() timestamp minus the row's own — the
+    last observation of each user carries no duration and drops out;
+    single-event users drop out entirely, identically in both
+    engines); values are exact floor-cents. The weighted sum runs in
+    DECIMAL(38,0) / HUGEINT (duration ~10¹² µs × cents ~10⁴ → 10¹⁶
+    per term — int64 holds one term but not a hot user's sum at
+    corpus scale; the a25 wide-int discipline). The only float ops
+    are two wide-int→double conversions (round-to-nearest in both
+    engines) and one correctly-rounded division, with the
+    zero-denominator case explicitly NULL on both sides. Scale
+    shape: lead() window partitioned BY USER (hash-parallel), then a
+    map-side-combined groupBy."""
+    e = (
+        t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.floor(F.col("value") * 100.0).cast("long").alias("val_c"),
+        )
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP — the
+    # session-tz shift cancels in the lead-minus-row difference
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    d = e.select(
+        "user_id",
+        "val_c",
+        (us(F.lead("ts").over(w)) - us(F.col("ts"))).alias("dur_us"),
+    )
+    dec = "decimal(38,0)"
+    s = (
+        d.where(F.col("dur_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("dur_us").alias("total_dur_us"),
+            F.sum(F.col("dur_us").cast(dec) * F.col("val_c")).alias("wsum"),
+        )
+    )
+    twa = F.when(
+        F.col("total_dur_us") > 0,
+        F.col("wsum").cast("double") / F.col("total_dur_us").cast("double"),
+    )
+    return s.select(
+        "user_id", "n_intervals", "total_dur_us", twa.alias("twa_value_c")
+    ).orderBy("user_id")
+
+
+@q(
+    "drift_cusum_maxshift",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), w AS (
+      SELECT event_type, day, c,
+             CAST(sum(c) OVER (PARTITION BY event_type ORDER BY day
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s_t,
+             CAST(row_number() OVER (PARTITION BY event_type
+                  ORDER BY day) AS BIGINT) AS t,
+             CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS s_n,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM d
+    ), r AS (
+      SELECT event_type, day, n, s_n,
+             abs(n * s_t - t * s_n) AS dstat,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY abs(n * s_t - t * s_n) DESC, day) AS rk
+      FROM w
+    )
+    SELECT event_type, n AS n_days, s_n AS total_events,
+           day AS shift_day, dstat AS max_cusum,
+           CAST(dstat AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(s_n AS DOUBLE)) AS rel_shift
+    FROM r WHERE rk = 1 ORDER BY event_type
+    """,
+)
+def drift_cusum_maxshift(spark, sf_dir):
+    """DRIFT: CUSUM changepoint localization — the drift family's
+    WHEN member (KS/TV/PSI/EMD answer "did the distribution move";
+    CUSUM answers "on which day did the level shift"). Per
+    event-type daily-count series, the statistic at day t is
+    |n·S_t − t·S_n| (the cumulative-sum deviation from the uniform
+    ramp, integer cross-multiplied — the a23 trick applied to a
+    series), maximized over t; the argmax day is the changepoint
+    estimate. All-integer until the final normalization
+    dstat/(n·S_n), where n and S_n convert to double exactly
+    (< 2⁵³), the product and division are correctly rounded →
+    bit-identical across engines. Ties on the max break to the
+    earliest day. Scale shape: the daily rollup is a map-side
+    combined groupBy; every window partitions BY SERIES
+    (event_type) — parallel across series, |days| rows per series."""
+    d = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wo = W.partitionBy("event_type").orderBy("day")
+    wp = W.partitionBy("event_type")
+    w = d.select(
+        "event_type",
+        "day",
+        F.sum("c").over(wo.rowsBetween(W.unboundedPreceding, 0)).alias("s_t"),
+        F.row_number().over(wo).cast("long").alias("t"),
+        F.sum("c").over(wp).alias("s_n"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    dstat = F.abs(F.col("n") * F.col("s_t") - F.col("t") * F.col("s_n"))
+    r = w.select(
+        "event_type",
+        "day",
+        "n",
+        "s_n",
+        dstat.alias("dstat"),
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy(
+                F.col("dstat").desc(), F.col("day")
+            )
+        ),
+    )
+    return (
+        r.where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            F.col("s_n").alias("total_events"),
+            F.col("day").alias("shift_day"),
+            F.col("dstat").alias("max_cusum"),
+            (
+                F.col("dstat").cast("double")
+                / (F.col("n").cast("double") * F.col("s_n").cast("double"))
+            ).alias("rel_shift"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "a34_mad_robust",
+    """
+    WITH v AS (
+      SELECT l_returnflag AS rf,
+             CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS c
+      FROM lineitem
+    ), r AS (
+      SELECT rf, c, row_number() OVER (PARTITION BY rf ORDER BY c) AS rn,
+             count(*) OVER (PARTITION BY rf) AS n
+      FROM v
+    ), med AS (
+      SELECT rf, CAST(max(n) AS BIGINT) AS n,
+             max(CASE WHEN rn = (n + 1) // 2 THEN c END) AS med_c
+      FROM r GROUP BY rf
+    ), rd AS (
+      SELECT v.rf, abs(v.c - m.med_c) AS dv, m.n, m.med_c,
+             row_number() OVER (PARTITION BY v.rf
+                                ORDER BY abs(v.c - m.med_c)) AS rn
+      FROM v JOIN med m ON v.rf = m.rf
+    ), mad AS (
+      SELECT rf, CAST(max(n) AS BIGINT) AS n, max(med_c) AS med_c,
+             max(CASE WHEN rn = (n + 1) // 2 THEN dv END) AS mad_c
+      FROM rd GROUP BY rf
+    )
+    SELECT m.rf AS l_returnflag, m.n AS n_rows, m.med_c, m.mad_c,
+           CAST(sum(CASE WHEN abs(v.c - m.med_c) > 3 * m.mad_c
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM v JOIN mad m ON v.rf = m.rf
+    GROUP BY m.rf, m.n, m.med_c, m.mad_c
+    ORDER BY l_returnflag
+    """,
+)
+def a34_mad_robust(spark, sf_dir):
+    """A34: median-absolute-deviation robust statistics — the
+    outlier-robust scale estimator beside a23's moment-based z-score
+    (a single corrupt magnitude can explode a stddev; the MAD is
+    breakdown-point-0.5 immune) and a32's winsorized mean. Two
+    rank-defined exact order statistics (lower median at row_number
+    (n+1) div 2 — pure integer rank selection, never interpolation),
+    the second over the |x − median| transform; the outlier verdict
+    |x − med| > 3·MAD is pure integer arithmetic — this query has NO
+    float surface at all. Scale shape: same explicit trade as
+    a28/a32 — per-group sorts for the exact tier (the 100-TB path is
+    the a16 sketch); the one-row-per-group median/MAD frames
+    broadcast back for the counting pass."""
+    v = t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("rf"),
+        F.floor(F.col("l_extendedprice") * 100.0).cast("long").alias("c"),
+    )
+    r = v.select(
+        "rf",
+        "c",
+        F.row_number().over(W.partitionBy("rf").orderBy("c")).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("rf")).alias("n"),
+    )
+    med = r.groupBy("rf").agg(
+        F.max("n").alias("n"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("c"))
+        ).alias("med_c"),
+    )
+    dv = F.abs(F.col("c") - F.col("med_c"))
+    rd = (
+        v.join(F.broadcast(med), "rf")
+        .select("rf", "n", "med_c", dv.alias("dv"))
+        .withColumn(
+            "rn", F.row_number().over(W.partitionBy("rf").orderBy("dv"))
+        )
+    )
+    mad = rd.groupBy("rf").agg(
+        F.max("n").alias("n"),
+        F.max("med_c").alias("med_c"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("dv"))
+        ).alias("mad_c"),
+    )
+    out = F.when(
+        F.abs(F.col("c") - F.col("med_c")) > 3 * F.col("mad_c"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        v.join(F.broadcast(mad), "rf")
+        .groupBy("rf", "n", "med_c", "mad_c")
+        .agg(F.sum(out).alias("n_outliers"))
+        .select(
+            F.col("rf").alias("l_returnflag"),
+            F.col("n").alias("n_rows"),
+            "med_c",
+            "mad_c",
+            "n_outliers",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@q(
+    "v10_orphan_assets",
+    """
+    WITH cat AS (
+      SELECT range AS asset_key,
+             'asset-' || CAST(range AS VARCHAR) AS asset_id
+      FROM range(797)
+    ), refs AS (
+      SELECT DISTINCT (doc_id * 31) % 797 AS k
+      FROM documents WHERE doc_id % 4 <> 0
+    )
+    SELECT cat.asset_key, cat.asset_id
+    FROM cat LEFT JOIN refs ON cat.asset_key = refs.k
+    WHERE refs.k IS NULL
+    ORDER BY asset_key
+    """,
+)
+def v10_orphan_assets(spark, sf_dir):
+    """V10: orphan-asset audit — the REVERSE of J3's referential
+    check: J3 finds span media_refs pointing at no catalog entry
+    (dangling references); this finds catalog entries no span ever
+    references (dead storage — the GC candidate list of a 100-TB
+    media lake). The driver table is lifted into interleaved docs
+    (one text span; docs with doc_id % 4 ≠ 0 add an image span whose
+    media_ref is 'asset-<(doc_id·31) mod 797>'), the span array is
+    exploded and filtered to media spans — exercising the real
+    explode/extract path — while the oracle derives the same
+    reference set in closed form. Scale shape: the exploded refs
+    dedup with a map-side partial distinct down to ≤|catalog| rows
+    BEFORE the shuffle, then one anti-join against the catalog (at
+    test scale AQE broadcasts the small side; at lake scale both
+    sides stay hash-partitioned — still linear)."""
+    d = t(spark, sf_dir, "documents")
+    spans = F.array(
+        F.struct(
+            F.lit("text").alias("kind"),
+            F.lit("body").alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(0).alias("offset"),
+        ),
+        F.struct(
+            F.lit("image").alias("kind"),
+            F.lit(None).cast("string").alias("text"),
+            F.when(
+                F.col("doc_id") % 4 != 0,
+                F.concat(
+                    F.lit("asset-"),
+                    ((F.col("doc_id") * 31) % 797).cast("string"),
+                ),
+            ).alias("media_ref"),
+            F.lit(4).alias("offset"),
+        ),
+    )
+    refs = (
+        d.select(F.explode(spans).alias("s"))
+        .where(
+            (F.col("s.kind") == "image") & F.col("s.media_ref").isNotNull()
+        )
+        .select(
+            F.regexp_replace("s.media_ref", r"^asset-", "")
+            .cast("long")
+            .alias("k")
+        )
+        .distinct()
+    )
+    cat = spark.range(797).select(
+        F.col("id").alias("asset_key"),
+        F.concat(F.lit("asset-"), F.col("id").cast("string")).alias(
+            "asset_id"
+        ),
+    )
+    return (
+        cat.join(refs, cat.asset_key == refs.k, "left_anti")
+        .select("asset_key", "asset_id")
+        .orderBy("asset_key")
+    )
+
+
+@q(
+    "x12_minmax_scale",
+    """
+    WITH s AS (
+      SELECT lang, min(n_chars) AS mn, max(n_chars) AS mx
+      FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+      GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang, d.n_chars,
+           CASE WHEN s.mx > s.mn
+                THEN CAST(d.n_chars - s.mn AS DOUBLE)
+                     / CAST(s.mx - s.mn AS DOUBLE)
+                ELSE NULL END AS scaled
+    FROM documents d JOIN s ON d.lang = s.lang
+    WHERE d.lang IS NOT NULL AND d.n_chars IS NOT NULL
+    ORDER BY d.doc_id
+    """,
+)
+def x12_minmax_scale(spark, sf_dir):
+    """X12: per-group min-max feature scaling — the feature
+    normalization a training pipeline applies before mixing
+    heterogeneous signals (x − min)/(max − min) within each language
+    group. Both differences are exact integers; ONE correctly-rounded
+    division → bit-identical doubles, no rounding fudge; the
+    degenerate single-value group (max == min) is explicitly NULL on
+    both sides (the engine-version x/0 hazard from the r5 review).
+    Scale shape: a map-side-combined per-group min/max (group-
+    cardinality rows) broadcast-joined back — two scans and ZERO
+    window operators (a window formulation would sort the corpus;
+    plan-pinned)."""
+    d = t(spark, sf_dir, "documents").where(
+        F.col("lang").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    s = d.groupBy("lang").agg(
+        F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx")
+    )
+    scaled = F.when(
+        F.col("mx") > F.col("mn"),
+        (F.col("n_chars") - F.col("mn")).cast("double")
+        / (F.col("mx") - F.col("mn")).cast("double"),
+    )
+    return (
+        d.join(F.broadcast(s), "lang")
+        .select("doc_id", "lang", "n_chars", scaled.alias("scaled"))
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "streaming_dedup_watermark",
+    """
+    SELECT DISTINCT event_id // 2 AS k FROM events ORDER BY k
+    """,
+)
+def streaming_dedup_watermark(spark, sf_dir):
+    """§2.11 streaming tier: built-in watermarked stream dedup —
+    ``dropDuplicatesWithinWatermark`` over the incremental file
+    source, the state-TTL-bounded form of exactly-once key dedup (the
+    built-in sibling of the custom applyInPandasWithState uniqueness
+    surface: that one carries per-key metadata and a hand-rolled TTL;
+    this one is the engine-native state store with watermark-driven
+    eviction — both now externally checked). A deterministic dup key
+    (event_id div 2 — consecutive event pairs, seconds apart, far
+    inside the 1 h watermark) guarantees every duplicate falls within
+    the dedup horizon, so the drained availableNow output is exactly
+    DISTINCT keys — the batch oracle. Only the key column is emitted,
+    so the result is representative-independent. Fifth streaming
+    surface (row-scope validation, stateful uniqueness, windowed
+    counts, session windows, interval join, dedup)."""
+    schema = t(spark, sf_dir, "events").schema
+    stream = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.*")
+    deduped = (
+        stream.select(
+            F.col("ts").cast("timestamp").alias("ts_i"),
+            F.expr("event_id div 2").alias("k"),
+        )
+        .withWatermark("ts_i", "1 hour")
+        .dropDuplicatesWithinWatermark(["k"])
+        .select("k")
+    )
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    name = f"stream_dedup_{sf_tag.replace('.', '_')}"
+    q_stream = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_stream.awaitTermination()
+    return spark.table(name).orderBy("k")
+
+
 # --- driver CORRECTNESS window ordering ---------------------------------------
 #
 # The external driver oracle-checks the FIRST 50 registered queries per

@@ -491,3 +491,39 @@ def test_winsorized_bounds_broadcast_back(spark):
     assert "BroadcastHashJoin" in p
     assert "HashAggregate" in p
     assert "CartesianProduct" not in p
+
+
+def test_minmax_scale_has_no_window(spark):
+    """x12: the per-group min/max attaches by aggregate + broadcast
+    join — a window formulation would sort the corpus; the plan must
+    contain no Window operator at all and no Python."""
+    p = plan(QUERIES["x12_minmax_scale"](spark, SF))
+    assert "Window" not in p
+    assert "BroadcastHashJoin" in p
+    assert "EvalPython" not in p
+
+
+def test_orphan_assets_anti_join_after_distinct(spark):
+    """v10: the exploded refs dedup BEFORE meeting the catalog, and
+    the audit is an anti-join (broadcast at this scale via AQE) —
+    never a cartesian."""
+    p = plan(QUERIES["v10_orphan_assets"](spark, SF))
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
+def test_twa_and_scd2_windows_are_key_partitioned(spark):
+    """a33/v9: every window partitions by the grouping key (user /
+    custkey) — a global single-partition window over the corpus would
+    be the 100-TB anti-pattern."""
+    for name, key in (
+        ("a33_time_weighted_avg", "user_id"),
+        ("v9_scd2_history", "k"),
+    ):
+        p = plan(QUERIES[name](spark, SF))
+        assert "Window" in p
+        # every hash exchange feeding a window carries the key
+        for frag in p.split("Exchange hashpartitioning(")[1:]:
+            head = frag[:120]
+            if "ENSURE_REQUIREMENTS" in head:
+                assert key in head, (name, head)
