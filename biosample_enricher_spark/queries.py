@@ -41,6 +41,31 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _drain_to_memory(df: DataFrame, prefix: str, tag: str, mode: str) -> DataFrame:
+    """Drain a streaming frame to completion (availableNow trigger →
+    memory sink) and return the sink table — the shared tail of every
+    streaming registry query. ``tag`` disambiguates the sink name per
+    sf_dir/run (dots are invalid in table names). NOTE: append-mode
+    callers whose oracle is the batch form additionally rely on the
+    single-microbatch drain contract (single-file source ⇒ watermark
+    stays at its initial value for the whole drain, so no row is ever
+    late); complete-mode callers are immune (full state re-emit)."""
+    name = f"{prefix}_{tag.replace('.', '_')}"
+    q_stream = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_stream.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def _sf_tag(sf_dir: str) -> str:
+    return sf_dir.rstrip("/").rsplit("/", 1)[-1]
+
+
 # =====================================================================
 # §2.1 scans / sources  +  §2.2 filters / predicates
 # =====================================================================
@@ -2059,17 +2084,7 @@ def streaming_validation(spark, sf_dir):
         ).alias("spans"),
     )
     viol = streaming_violations(docs)
-    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    name = f"stream_viol_{sf_tag.replace('.', '_')}"
-    q_stream = (
-        viol.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q_stream.awaitTermination()
-    return spark.table(name)
+    return _drain_to_memory(viol, "stream_viol", _sf_tag(sf_dir), "append")
 
 
 @q(
@@ -2223,18 +2238,12 @@ def streaming_uniqueness(spark, sf_dir):
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{src}/*/*.parquet")
     )
-    name = f"stream_uniq_{run_tag}"
-    q_stream = (
-        streaming_duplicate_violations(stream)
-        .drop("partition_id")
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q_stream.awaitTermination()
-    return spark.table(name).orderBy("doc_id")
+    return _drain_to_memory(
+        streaming_duplicate_violations(stream).drop("partition_id"),
+        "stream_uniq",
+        run_tag,
+        "append",
+    ).orderBy("doc_id")
 
 
 
@@ -2971,22 +2980,14 @@ def streaming_windowed_counts(spark, sf_dir):
         .groupBy(F.window("ts_i", "6 hours").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    name = f"stream_win_{sf_tag.replace('.', '_')}"
-    q_stream = (
-        agg.select(
-            F.col("w.start").cast("timestamp_ntz").alias("win_start"),
-            "event_type",
-            "n_events",
-        )
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    out = agg.select(
+        F.col("w.start").cast("timestamp_ntz").alias("win_start"),
+        "event_type",
+        "n_events",
     )
-    q_stream.awaitTermination()
-    return spark.table(name).orderBy("win_start", "event_type")
+    return _drain_to_memory(
+        out, "stream_win", _sf_tag(sf_dir), "complete"
+    ).orderBy("win_start", "event_type")
 
 
 @q(
@@ -3953,23 +3954,15 @@ def streaming_sessionize(spark, sf_dir):
         .groupBy("user_id", F.session_window("ts_i", "30 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    name = f"stream_sess_{sf_tag.replace('.', '_')}"
-    q_stream = (
-        agg.select(
-            "user_id",
-            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
-            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
-            "n_events",
-        )
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    out = agg.select(
+        "user_id",
+        F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+        F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
     )
-    q_stream.awaitTermination()
-    return spark.table(name).orderBy("user_id", "session_start")
+    return _drain_to_memory(
+        out, "stream_sess", _sf_tag(sf_dir), "complete"
+    ).orderBy("user_id", "session_start")
 
 
 @q(
@@ -5148,22 +5141,14 @@ def streaming_interval_join(spark, sf_dir):
         & (F.col("click_ts_i") >= F.col("view_ts_i"))
         & (F.col("click_ts_i") <= F.col("view_ts_i") + F.expr("INTERVAL 6 HOURS")),
     )
-    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    name = f"stream_ijoin_{sf_tag.replace('.', '_')}"
-    q_stream = (
-        joined.select(
-            F.col("v_user").alias("user_id"),
-            F.col("view_ts_i").cast("timestamp_ntz").alias("view_ts"),
-            F.col("click_ts_i").cast("timestamp_ntz").alias("click_ts"),
-        )
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    out = joined.select(
+        F.col("v_user").alias("user_id"),
+        F.col("view_ts_i").cast("timestamp_ntz").alias("view_ts"),
+        F.col("click_ts_i").cast("timestamp_ntz").alias("click_ts"),
     )
-    q_stream.awaitTermination()
-    return spark.table(name).orderBy("user_id", "view_ts", "click_ts")
+    return _drain_to_memory(
+        out, "stream_ijoin", _sf_tag(sf_dir), "append"
+    ).orderBy("user_id", "view_ts", "click_ts")
 
 
 @q(
@@ -6501,9 +6486,15 @@ def streaming_dedup_watermark(spark, sf_dir):
     inside the 1 h watermark) guarantees every duplicate falls within
     the dedup horizon, so the drained availableNow output is exactly
     DISTINCT keys — the batch oracle. Only the key column is emitted,
-    so the result is representative-independent. Fifth streaming
-    surface (row-scope validation, stateful uniqueness, windowed
-    counts, session windows, interval join, dedup)."""
+    so the result is representative-independent. Batch-equality
+    additionally leans on the single-microbatch drain contract
+    (single-file source; see _drain_to_memory): a multi-batch drain
+    would advance the watermark between batches and could DROP a
+    late-arriving key entirely — unlike the complete-mode surfaces,
+    append + watermark is only batch-equal when nothing is ever
+    late. Sixth streaming surface (row-scope validation, stateful
+    uniqueness, windowed counts, session windows, interval join,
+    dedup)."""
     schema = t(spark, sf_dir, "events").schema
     stream = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.*")
     deduped = (
@@ -6515,17 +6506,9 @@ def streaming_dedup_watermark(spark, sf_dir):
         .dropDuplicatesWithinWatermark(["k"])
         .select("k")
     )
-    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    name = f"stream_dedup_{sf_tag.replace('.', '_')}"
-    q_stream = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q_stream.awaitTermination()
-    return spark.table(name).orderBy("k")
+    return _drain_to_memory(
+        deduped, "stream_dedup", _sf_tag(sf_dir), "append"
+    ).orderBy("k")
 
 
 # --- driver CORRECTNESS window ordering ---------------------------------------

@@ -522,8 +522,12 @@ def test_twa_and_scd2_windows_are_key_partitioned(spark):
     ):
         p = plan(QUERIES[name](spark, SF))
         assert "Window" in p
-        # every hash exchange feeding a window carries the key
-        for frag in p.split("Exchange hashpartitioning(")[1:]:
+        # every hash exchange carries the key as its LEADING column
+        # token ("<key>#<exprId>"), not a substring match — these two
+        # plans' only hash exchanges are the window inputs
+        frags = p.split("Exchange hashpartitioning(")[1:]
+        assert frags, name
+        for frag in frags:
             head = frag[:120]
             if "ENSURE_REQUIREMENTS" in head:
-                assert key in head, (name, head)
+                assert head.startswith(f"{key}#"), (name, head)
