@@ -464,3 +464,83 @@ def emd_from_histograms(
         F.lit(float(threshold_num) / float(threshold_den)).alias("threshold"),
         passed.alias("passed"),
     )
+
+
+def chi2_contingency(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """Pearson chi-square test of independence over the contingency
+    table of two categorical columns — the drift family's ASSOCIATION
+    member (KS/TV/PSI/EMD compare one marginal against a baseline;
+    this asks whether two dimensions of ONE corpus are independent,
+    e.g. does violation kind depend on ingest source — the smoking gun
+    for a broken provider).
+
+    Per cell (i, j): observed O, row/column/grand totals r, c, n, the
+    exact integer deviation n·O − r·c (zero ⟺ exactly independent
+    cell — an integer verdict with no float), and the chi² term
+    (n·O − r·c)² / (n·r·c), algebraically (O − E)²/E with E = r·c/n.
+    The UNOBSERVED cells of the grid matter (O = 0 still contributes
+    r·c/n): the observed pairs are gap-filled against the full
+    distinct-rows × distinct-cols grid before totals are taken.
+
+    Cross-engine float discipline (the a22/a23 rules): dev is an
+    exact int64; its double image and square are correctly rounded
+    from the same integer in any engine; the denominator is built
+    left-associated double products of exact ints; ONE division, then
+    9dp rounding. ``chi2_term_q`` additionally quantizes each term to
+    DECIMAL(28,9), so downstream sums of the statistic are EXACT
+    decimal additions — order-independent across partitions (a float
+    sum of terms would be association-order-dependent and diverge
+    between engines).
+
+    Scale shape: one map-side-combined groupBy over the corpus; the
+    grid/totals passes run on the |rows|×|cols| cell frame (bounded by
+    category cardinalities, never the corpus). Overflow: dev² is
+    computed in DECIMAL(38,0) → exact up to n·O ~ 10¹⁸.
+    """
+    o = (
+        df.groupBy(
+            F.col(row_col).alias("rk"), F.col(col_col).alias("ck")
+        ).agg(F.count(F.lit(1)).alias("obs"))
+    )
+    grid = (
+        o.select("rk").distinct().crossJoin(o.select("ck").distinct())
+    )
+    f = grid.join(o, ["rk", "ck"], "left").select(
+        "rk", "ck", F.coalesce("obs", F.lit(0)).alias("obs")
+    )
+    wr, wc, wn = (
+        Window.partitionBy("rk"),
+        Window.partitionBy("ck"),
+        Window.partitionBy(),
+    )
+    tot = f.select(
+        "rk",
+        "ck",
+        "obs",
+        F.sum("obs").over(wr).alias("r"),
+        F.sum("obs").over(wc).alias("c"),
+        F.sum("obs").over(wn).alias("n"),
+    )
+    dec = "decimal(38,0)"
+    dev = (F.col("n") * F.col("obs") - F.col("r") * F.col("c"))
+    dev_sq = (dev.cast(dec) * dev.cast(dec)).cast("double")
+    den = (
+        F.col("n").cast("double") * F.col("r").cast("double")
+        * F.col("c").cast("double")
+    )
+    term = F.round(dev_sq / den, 9)
+    return tot.select(
+        F.col("rk"),
+        F.col("ck"),
+        "obs",
+        F.col("r").alias("row_total"),
+        F.col("c").alias("col_total"),
+        F.col("n").alias("grand_total"),
+        dev.alias("dev_num"),
+        term.alias("chi2_term_9dp"),
+        term.cast("decimal(28,9)").alias("chi2_term_q"),
+    )

@@ -6511,6 +6511,138 @@ def streaming_dedup_watermark(spark, sf_dir):
     ).orderBy("k")
 
 
+@q(
+    "drift_chi2_independence",
+    """
+    WITH o AS (
+      SELECT lang AS rk, source AS ck, count(*) AS obs
+      FROM documents
+      WHERE lang IS NOT NULL AND source IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT r.rk, c.ck
+      FROM (SELECT DISTINCT rk FROM o) r
+      CROSS JOIN (SELECT DISTINCT ck FROM o) c
+    ),
+    f AS (
+      SELECT g.rk, g.ck, CAST(coalesce(o.obs, 0) AS BIGINT) AS obs
+      FROM grid g LEFT JOIN o ON g.rk = o.rk AND g.ck = o.ck
+    ),
+    tot AS (
+      SELECT rk, ck, obs,
+             CAST(sum(obs) OVER (PARTITION BY rk) AS BIGINT) AS r,
+             CAST(sum(obs) OVER (PARTITION BY ck) AS BIGINT) AS c,
+             CAST(sum(obs) OVER () AS BIGINT) AS n
+      FROM f
+    )
+    SELECT rk, ck, obs,
+           r AS row_total, c AS col_total, n AS grand_total,
+           n * obs - r * c AS dev_num,
+           round(
+             CAST(CAST(n * obs - r * c AS DECIMAL(38,0))
+                  * CAST(n * obs - r * c AS DECIMAL(38,0)) AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE)),
+             9
+           ) AS chi2_term_9dp
+    FROM tot
+    ORDER BY rk, ck
+    """,
+)
+def drift_chi2_independence(spark, sf_dir):
+    """Drift family, association member: Pearson chi-square of
+    independence over the lang × source contingency table of the
+    documents corpus (operators/drift.py:chi2_contingency) — "does
+    violation/category depend on ingest source", the cross-dimension
+    question the marginal drift tiers (KS/TV/PSI/EMD) cannot ask.
+    Emits the full gap-filled cell grid with exact integer deviations
+    (n·O − r·c, zero ⟺ independent cell) and 9dp-rounded chi² terms;
+    the quantized DECIMAL(28,9) term column (exact order-independent
+    summation across partitions) is exercised by tests/test_drift.py,
+    not the oracle (the rounded-double column carries the same values
+    here). Scale: one map-side-combined groupBy over the corpus; all
+    grid/window passes run on the |langs|×|sources| cell frame."""
+    from .operators.drift import chi2_contingency
+
+    d = t(spark, sf_dir, "documents").where(
+        F.col("lang").isNotNull() & F.col("source").isNotNull()
+    )
+    return (
+        chi2_contingency(d, "lang", "source")
+        .drop("chi2_term_q")
+        .orderBy("rk", "ck")
+    )
+
+
+@q(
+    "m1_merge_upsert",
+    """
+    WITH changes AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             0.0 AS c_acctbal, 'UPDATED' AS c_mktsegment,
+             'upsert' AS op
+      FROM customer WHERE c_custkey % 7 = 1
+      UNION ALL
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+             'delete'
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey + 10000000,
+             'new-' || CAST(c_custkey AS VARCHAR),
+             CAST(0 AS INTEGER), 1.5, 'INSERTED', 'upsert'
+      FROM customer WHERE c_custkey % 7 = 2
+    )
+    SELECT b.c_custkey, b.c_name, b.c_nationkey, b.c_acctbal,
+           b.c_mktsegment
+    FROM customer b
+    WHERE NOT EXISTS (
+      SELECT 1 FROM changes c WHERE c.c_custkey = b.c_custkey
+    )
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM changes WHERE op = 'upsert'
+    ORDER BY c_custkey
+    """,
+)
+def m1_merge_upsert(spark, sf_dir):
+    """M1: batch MERGE (upsert/delete apply) — SQL:2003 MERGE INTO /
+    Delta-style mutation semantics built from one anti-join plus a
+    union (operators/merge.py:merge_upsert). The deterministic change
+    set exercises all three branches: custkey%7==0 → DELETE,
+    %7==1 → full-row UPDATE (acctbal zeroed, segment 'UPDATED'),
+    %7==2 → INSERT of a fresh key. Scale shape: the change set is
+    typically ≪ base, so AQE broadcasts the anti-join build side;
+    linear in base, no window, no skew term beyond the change-set key
+    histogram. Reference analog: set-based replace-or-insert of the
+    enrichment-merge flow (adapters.py:327-338)."""
+    from .operators.merge import merge_upsert
+
+    base = t(spark, sf_dir, "customer")
+    upd = base.where(F.col("c_custkey") % 7 == 1).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("UPDATED").alias("c_mktsegment"),
+        F.lit("upsert").alias("op"),
+    )
+    dels = base.where(F.col("c_custkey") % 7 == 0).select(
+        *base.columns, F.lit("delete").alias("op")
+    )
+    ins = base.where(F.col("c_custkey") % 7 == 2).select(
+        (F.col("c_custkey") + 10000000).alias("c_custkey"),
+        F.concat(F.lit("new-"), F.col("c_custkey").cast("string")).alias(
+            "c_name"
+        ),
+        F.lit(0).cast("int").alias("c_nationkey"),
+        F.lit(1.5).alias("c_acctbal"),
+        F.lit("INSERTED").alias("c_mktsegment"),
+        F.lit("upsert").alias("op"),
+    )
+    changes = upd.unionByName(dels).unionByName(ins)
+    return merge_upsert(base, changes, ["c_custkey"]).orderBy("c_custkey")
+
+
 # --- driver CORRECTNESS window ordering ---------------------------------------
 #
 # The external driver oracle-checks the FIRST 50 registered queries per

@@ -303,3 +303,81 @@ def test_emd_threshold_is_integer_exact(spark):
     r = emd_from_histograms(base, cur, "c", "bucket", 1, 2).collect()[0]
     assert r["emd_buckets"] == 0.5
     assert r["passed"] is True
+
+
+# --- chi-square contingency ------------------------------------------------
+
+
+def _pairs(spark, counts):
+    """counts: {(rk, ck): n} → flat two-column frame with n copies."""
+    rows = [(r, c) for (r, c), n in counts.items() for _ in range(n)]
+    return spark.createDataFrame(rows, "rk string, ck string")
+
+
+def test_chi2_exactly_independent_table_is_all_zero(spark):
+    from biosample_enricher_spark.operators.drift import chi2_contingency
+
+    # counts proportional to row×col margins: O = r*c/n exactly.
+    d = _pairs(spark, {("a", "x"): 2, ("a", "y"): 4, ("b", "x"): 1, ("b", "y"): 2})
+    out = chi2_contingency(d, "rk", "ck").collect()
+    assert len(out) == 4
+    for r in out:
+        assert r["dev_num"] == 0  # integer verdict, no float
+        assert r["chi2_term_9dp"] == 0.0
+
+
+def test_chi2_known_2x2_value(spark):
+    from biosample_enricher_spark.operators.drift import chi2_contingency
+
+    # O = [[10,20],[20,10]] → E = 15 everywhere → chi2 = 4·(25/15) = 20/3.
+    d = _pairs(
+        spark,
+        {("a", "x"): 10, ("a", "y"): 20, ("b", "x"): 20, ("b", "y"): 10},
+    )
+    out = {(r["rk"], r["ck"]): r for r in chi2_contingency(d, "rk", "ck").collect()}
+    for cell, sign in [(("a", "x"), -1), (("a", "y"), 1), (("b", "x"), 1), (("b", "y"), -1)]:
+        r = out[cell]
+        assert r["grand_total"] == 60 and r["row_total"] == 30 and r["col_total"] == 30
+        assert r["dev_num"] == sign * 300  # 60·O − 30·30
+        assert r["chi2_term_9dp"] == round(300 * 300 / (60 * 30 * 30), 9)
+    total = sum(r["chi2_term_9dp"] for r in out.values())
+    assert abs(total - 20 / 3) < 4 * 5e-10  # 9dp rounding per term
+
+
+def test_chi2_gap_fills_unobserved_cells(spark):
+    from biosample_enricher_spark.operators.drift import chi2_contingency
+
+    # only (a,x) and (b,y) observed — the zero cells still contribute
+    # E = r·c/n each.
+    d = _pairs(spark, {("a", "x"): 3, ("b", "y"): 1})
+    out = {(r["rk"], r["ck"]): r for r in chi2_contingency(d, "rk", "ck").collect()}
+    assert len(out) == 4
+    z = out[("a", "y")]
+    assert z["obs"] == 0
+    assert z["dev_num"] == 0 - 3 * 1  # n·0 − r_a·c_y = −3
+    assert z["chi2_term_9dp"] == round(9 / (4 * 3 * 1), 9)
+
+
+def test_chi2_quantized_terms_sum_exactly_and_order_independently(spark):
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from biosample_enricher_spark.operators.drift import chi2_contingency
+
+    d = _pairs(
+        spark,
+        {("a", "x"): 7, ("a", "y"): 11, ("b", "x"): 13, ("b", "y"): 5,
+         ("c", "x"): 2, ("c", "y"): 9},
+    )
+    cells = chi2_contingency(d, "rk", "ck")
+    expected = sum(
+        Decimal(str(r["chi2_term_9dp"])) for r in cells.collect()
+    )
+    for parts in (1, 7):
+        got = (
+            cells.repartition(parts)
+            .agg(F.sum("chi2_term_q").alias("s"))
+            .collect()[0]["s"]
+        )
+        assert got == expected  # exact decimal addition, any partitioning
