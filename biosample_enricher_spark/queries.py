@@ -6643,6 +6643,274 @@ def m1_merge_upsert(spark, sf_dir):
     return merge_upsert(base, changes, ["c_custkey"]).orderBy("c_custkey")
 
 
+@q(
+    "star1_revenue_rollup",
+    """
+    SELECT r_name, n_name,
+           sum(CAST(round(l_extendedprice*100) AS BIGINT)
+               * (100 - CAST(round(l_discount*100) AS BIGINT))) AS revenue_c4,
+           count(*) AS n_items
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    JOIN region   ON r_regionkey = n_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY r_name, n_name
+    ORDER BY r_name, n_name
+    """,
+)
+def star1_revenue_rollup(spark, sf_dir):
+    """STAR1: multi-way star-schema rollup (TPC-H Q5 semantics) —
+    local-supplier revenue by region x nation over a 6-table join
+    chain. The fact-side joins (customer-orders-lineitem-supplier)
+    shuffle on their keys; the two dimension joins broadcast
+    explicitly (nation/region are constant-size at any SF — 25/5
+    rows), and the date predicate is pushed into the orders scan so
+    the fact pipeline starts from the filtered year. Revenue is the
+    exact BIGINT numerator sum(cents x (100 - discount_pct)) — the
+    a23/a25 exact-integer-stats discipline, zero float surface (the
+    true dollar value is revenue_c4 / 10^4). Reference analog: the
+    provider-by-region success rollups of metrics/reporter.py, lifted
+    to the canonical warehouse star shape."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    nat = F.broadcast(t(spark, sf_dir, "nation"))
+    reg = F.broadcast(t(spark, sf_dir, "region"))
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc = F.round(F.col("l_discount") * 100).cast("bigint")
+    return (
+        cust.join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supp,
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(nat, F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(reg, F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(cents * (F.lit(100) - disc)).alias("revenue_c4"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+@q(
+    "w10_rolling_zscore",
+    """
+    WITH v AS (
+      SELECT user_id, event_id, ts,
+             CAST(round(value*100) AS BIGINT) AS v_c
+      FROM events
+    ), s AS (
+      SELECT user_id, event_id, v_c,
+             count(*)     OVER w AS n_w,
+             sum(v_c)     OVER w AS s1,
+             sum(v_c*v_c) OVER w AS s2
+      FROM v
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id, v_c,
+           (n_w*v_c - s1)*(n_w*v_c - s1) AS dev2_n2,
+           9*(n_w*s2 - s1*s1) AS var_bound
+    FROM s
+    WHERE n_w = 20
+      AND (n_w*v_c - s1)*(n_w*v_c - s1) > 9*(n_w*s2 - s1*s1)
+    ORDER BY user_id, event_id
+    """,
+)
+def w10_rolling_zscore(spark, sf_dir):
+    """W10: rolling-window anomaly detection — |z| > 3 against the
+    TRAILING 20-event mean/std per user (the streaming-adjacent twin
+    of a23's whole-group z-score). The verdict is the pure integer
+    predicate (n*v - S1)^2 > 9*(n*S2 - S1^2) over exact cent units —
+    both sides cross-multiplied so no division/sqrt ever happens;
+    bounds: v<=5e4 cents, n=20 => 9*(n*S2) < 5e14, comfortably int64.
+    One shuffle (hash by user_id) feeds a single window with three
+    frame aggregates; at 10^12 events the per-user state is a 20-row
+    frame, never whole-history. Rows with an incomplete warm-up frame
+    (n_w < 20) are excluded so every emitted flag saw a full window.
+    Reference analog: the outlier screens of metrics/reporter.py
+    lifted from batch whole-column stats to event-time local stats."""
+    e = t(spark, sf_dir, "events")
+    v_c = F.round(F.col("value") * 100).cast("bigint")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, 0)
+    )
+    s = e.select(
+        "user_id",
+        "event_id",
+        v_c.alias("v_c"),
+        F.count(F.lit(1)).over(w).alias("n_w"),
+        F.sum(v_c).over(w).alias("s1"),
+        F.sum(v_c * v_c).over(w).alias("s2"),
+    )
+    dev = F.col("n_w") * F.col("v_c") - F.col("s1")
+    dev2 = dev * dev  # pure integer square — never **2 (double pow)
+    bound = 9 * (F.col("n_w") * F.col("s2") - F.col("s1") * F.col("s1"))
+    return (
+        s.where((F.col("n_w") == 20) & (dev2 > bound))
+        .select(
+            "user_id",
+            "event_id",
+            "v_c",
+            dev2.alias("dev2_n2"),
+            bound.alias("var_bound"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@q(
+    "w11_interval_merge",
+    """
+    WITH iv AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) AS start_us,
+             epoch_us(ts)
+               + ((CAST(round(value*100) AS BIGINT) % 300) + 60) * 1000000
+               AS end_us
+      FROM events
+    ), m AS (
+      SELECT user_id, event_id, start_us, end_us,
+             max(end_us) OVER (PARTITION BY user_id
+                               ORDER BY start_us, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS prev_end
+      FROM iv
+    ), isl AS (
+      SELECT user_id, start_us, end_us,
+             sum(CASE WHEN prev_end IS NULL OR start_us > prev_end
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY start_us, event_id
+                     ROWS UNBOUNDED PRECEDING) AS island
+      FROM m
+    ), g AS (
+      SELECT user_id, island, min(start_us) AS s, max(end_us) AS e
+      FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id, count(*) AS n_merged, sum(e - s) AS covered_us
+    FROM g GROUP BY user_id ORDER BY user_id
+    """,
+)
+def w11_interval_merge(spark, sf_dir):
+    """W11: overlapping-interval merge (union length) — each event
+    opens a deterministic interval [ts, ts + 60..359 s) and per user
+    the overlapping/adjacent intervals are merged into islands; output
+    is merged-interval count + total covered microseconds. The classic
+    sweep: running max(end) over all PRECEDING rows detects island
+    starts (start > prev running max — touching intervals MERGE, i.e.
+    half-open adjacency start == prev_end coalesces, documented
+    contract), a running sum numbers islands, one aggregate per island
+    then per user. All arithmetic in exact epoch-microsecond BIGINTs.
+    Scale: one hash shuffle by user_id feeds both windows AND the
+    island aggregate (same partitioning reused across all three —
+    Catalyst plans a single Exchange); per-user state is a sort, never
+    a cross join. Reference analog: coalescing duplicate/overlapping
+    date-range observations before enrichment (adapters.py merge
+    semantics) generalized to intervals."""
+    e = t(spark, sf_dir, "events")
+    start = F.unix_micros(F.col("ts").cast("timestamp"))
+    dur_us = (
+        (F.round(F.col("value") * 100).cast("bigint") % 300) + 60
+    ) * 1000000
+    iv = e.select(
+        "user_id",
+        "event_id",
+        start.alias("start_us"),
+        (start + dur_us).alias("end_us"),
+    )
+    ordw = W.partitionBy("user_id").orderBy("start_us", "event_id")
+    prev_end = F.max("end_us").over(
+        ordw.rowsBetween(W.unboundedPreceding, -1)
+    )
+    isl = iv.withColumn(
+        "new_island",
+        F.when(
+            prev_end.isNull() | (F.col("start_us") > prev_end), 1
+        ).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(ordw.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    g = isl.groupBy("user_id", "island").agg(
+        F.min("start_us").alias("s"), F.max("end_us").alias("e")
+    )
+    return (
+        g.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_merged"),
+            F.sum(F.col("e") - F.col("s")).alias("covered_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@q(
+    "a35_bitmap_distinct",
+    """
+    WITH b AS (
+      SELECT event_type, user_id // 63 AS word_idx,
+             bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INT)) AS w
+      FROM events GROUP BY event_type, word_idx
+    ), bm AS (
+      SELECT event_type, sum(bit_count(w)) AS bitmap_distinct
+      FROM b GROUP BY event_type
+    ), ex AS (
+      SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY event_type
+    )
+    SELECT bm.event_type, bitmap_distinct, exact_distinct
+    FROM bm JOIN ex USING (event_type) ORDER BY event_type
+    """,
+)
+def a35_bitmap_distinct(spark, sf_dir):
+    """A35: exact distinct counting via bitmap words — the
+    roaring-bitmap/ClickHouse groupBitmap technique from first
+    principles for bounded integer key domains: map key -> (word =
+    key div 63, bit = key mod 63), bit_or the 63-bit words per
+    (group, word), then sum(bit_count(word)). 63 bits per word, not
+    64: DuckDB's checked arithmetic rejects 1<<63 (sign bit), and
+    staying under it keeps both engines in plain BIGINT. Unlike
+    count(DISTINCT) the partial state is FIXED-SIZE per (group, word)
+    — at 10^12 events with a 10^9-user domain the shuffle carries at
+    most |groups| x domain/63 words of 8 bytes (map-side bit_or
+    combine collapses all per-partition repeats), vs count_distinct's
+    per-key expansion; and unlike a2's HLL it is exact. The query
+    emits the bitmap count NEXT TO the exact count_distinct so the
+    oracle row externally checks the equivalence claim itself (the
+    v6/j10 oracle-checks-the-technique pattern)."""
+    e = t(spark, sf_dir, "events")
+    word_idx = F.expr("user_id div 63").alias("word_idx")
+    # F.shiftleft only accepts a literal shift amount in PySpark —
+    # the per-row bit position needs the SQL form.
+    bit = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))")
+    bm = (
+        e.select("event_type", word_idx, bit.alias("b"))
+        .groupBy("event_type", "word_idx")
+        .agg(F.expr("bit_or(b)").alias("w"))
+        .groupBy("event_type")
+        .agg(F.sum(F.bit_count("w")).alias("bitmap_distinct"))
+    )
+    ex = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return bm.join(ex, "event_type").orderBy("event_type")
+
+
 # --- driver CORRECTNESS window ordering ---------------------------------------
 #
 # The external driver oracle-checks the FIRST 50 registered queries per
