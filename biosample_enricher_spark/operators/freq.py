@@ -124,3 +124,77 @@ def heavy_hitters(
             (F.col("cnt") / F.col("n_total")).alias("share"),
         )
     )
+
+
+def _cms_bucket(j, key, width: int):
+    """Portable Count-Min row hash: first 8 hex chars of
+    ``md5(j ':' key)`` parsed as a 32-bit integer, mod ``width`` —
+    the mix_corpus/p11 md5-threshold idiom, reproducible bit-for-bit
+    in any engine with md5 (the ANSI-SQL oracle uses the identical
+    string)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", j, key)), 1, 8), 16, 10
+        ).cast("bigint")
+        % F.lit(int(width))
+    )
+
+
+def countmin_sketch(
+    items: DataFrame, key_col: str = "token", depth: int = 3, width: int = 64
+) -> DataFrame:
+    """Build a Count-Min sketch over an item stream: each item is
+    counted into ``depth`` hashed buckets; returns the
+    ``(j, bucket, bucket_n)`` cell frame (≤ depth·width rows).
+
+    This is the frequency-sketch family member beside a2's HLL
+    (distinct) and a24's Misra-Gries (heavy hitters): the aggregate
+    state is FIXED-SIZE — ``depth × width`` counters — independent of
+    key cardinality, and cells are mergeable by plain addition
+    (sketch(A ∪ B) = sketch(A) + sketch(B) cell-wise, pinned in
+    tests/test_r5h_ops.py). At 10^12 events the groupBy's map-side
+    combine collapses every partition to ≤ depth·width partial rows,
+    so the shuffle carries ≤ depth·width·partitions tiny rows and the
+    reducer state is constant — count(DISTINCT)-free frequency
+    estimates for ANY later-arriving query key (Cormode & Muthukrishnan
+    2005, public literature).
+
+    Reference analog: the eager value-frequency maps of
+    schema_statistics.py, replaced by a bounded-memory mergeable
+    summary."""
+    exploded = items.where(F.col(key_col).isNotNull()).select(
+        F.col(key_col).alias("k"),
+        F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("j"),
+    )
+    return (
+        exploded.select("j", _cms_bucket(F.col("j"), F.col("k"), width).alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+    )
+
+
+def countmin_estimates(
+    items: DataFrame,
+    keys: DataFrame,
+    key_col: str = "token",
+    depth: int = 3,
+    width: int = 64,
+) -> DataFrame:
+    """Point-estimate frequencies for ``keys`` from a Count-Min sketch
+    of ``items``: est(k) = min over the sketch's ``depth`` rows of the
+    cell ``k`` hashes to. Structural guarantee est ≥ true count (every
+    cell containing k's increments at least), expected overcount
+    ≤ e·N/width per the CM bound. The sketch cell frame (≤ depth·width
+    rows) is broadcast, so estimating any number of keys costs one
+    scan of ``keys`` and zero extra shuffle."""
+    sketch = countmin_sketch(items, key_col, depth, width)
+    kj = keys.select(
+        F.col(key_col).alias("k"),
+        F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("j"),
+    ).select("k", "j", _cms_bucket(F.col("j"), F.col("k"), width).alias("bucket"))
+    return (
+        kj.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("k")
+        .agg(F.min("bucket_n").alias("est_n"))
+        .select(F.col("k").alias(key_col), "est_n")
+    )

@@ -153,3 +153,84 @@ def land_ocean_class(lat: Column, lon: Column) -> Column:
     return (
         F.when(is_ocean, "ocean").when(is_land, "land").otherwise("uncertain")
     )
+
+
+def grid_near_join(
+    pts_a,  # DataFrame (id, x, y) — integer, NON-NEGATIVE coords
+    pts_b,  # DataFrame (id, x, y) — same units
+    radius: int,
+):
+    """Radius near-join via grid-cell bucketing — the spatial join
+    that never goes all-pairs.
+
+    Both point sets are assigned to square cells of side ``radius``
+    (``cell = coord div radius`` — exact integer floor for the
+    required NON-NEGATIVE coordinates; float division is deliberately
+    avoided because a 1-ulp boundary flip could widen the cell gap of
+    a qualifying pair beyond the 3x3 neighborhood). Side A is
+    exploded into its cell plus the 8 neighbors, then hash-equi-joined
+    to B on the cell key and verified with the EXACT integer predicate
+    ``dx*dx + dy*dy <= radius*radius`` — zero float anywhere.
+
+    Losslessness: if ``dx*dx + dy*dy <= r*r`` then ``|dx| <= r`` and
+    ``|dy| <= r``, so the cell indices differ by at most 1 per axis —
+    every qualifying pair meets in A's 3x3 neighborhood. The
+    candidate set is exactly the cell-cooccurring pairs: at 100 TB the
+    shuffle is bounded by 9x|A| + |B| rows hashed on cell keys and
+    the verify runs inside the join's codegen stage; no
+    CartesianProduct appears in the plan (pinned in
+    tests/test_r5h_ops.py). Skewed cells (urban hot spots) are the
+    j10 salting case; the cell key composes with a salt column
+    unchanged.
+
+    Returns (id_a, id_b, d2) with ``d2`` the exact squared distance.
+    Overflow bound: coords < ~2^31 keep dx*dx + dy*dy inside BIGINT.
+
+    Reference analog: the point-in-bbox / nearest-region
+    classification of elevation/classifier.py:104-172, lifted from
+    per-row box tests to a two-sided distributed near-join.
+    """
+    r2 = radius * radius
+    a = pts_a.select(
+        F.col("id").alias("id_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.expr(f"x div {radius}").alias("ca_x"),
+        F.expr(f"y div {radius}").alias("ca_y"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("ox"), F.lit(dy).alias("oy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    a9 = a.select(
+        "id_a",
+        "xa",
+        "ya",
+        F.explode(offsets).alias("o"),
+        "ca_x",
+        "ca_y",
+    ).select(
+        "id_a",
+        "xa",
+        "ya",
+        (F.col("ca_x") + F.col("o.ox")).alias("cx"),
+        (F.col("ca_y") + F.col("o.oy")).alias("cy"),
+    )
+    b = pts_b.select(
+        F.col("id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.expr(f"x div {radius}").alias("cx"),
+        F.expr(f"y div {radius}").alias("cy"),
+    )
+    dx = F.col("xa") - F.col("xb")
+    dy = F.col("ya") - F.col("yb")
+    d2 = dx * dx + dy * dy
+    return (
+        a9.join(b, ["cx", "cy"])
+        .where(d2 <= F.lit(r2))
+        .select("id_a", "id_b", d2.alias("d2"))
+    )

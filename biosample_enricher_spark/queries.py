@@ -6911,6 +6911,217 @@ def a35_bitmap_distinct(spark, sf_dir):
     return bm.join(ex, "event_type").orderBy("event_type")
 
 
+@q(
+    "j11_spatial_grid_join",
+    """
+    WITH a AS (
+      SELECT s_suppkey AS id_a,
+             (s_suppkey * 7919)   % 1000000 AS x,
+             (s_suppkey * 104729) % 1000000 AS y
+      FROM supplier
+    ), b AS (
+      SELECT c_custkey AS id_b,
+             (c_custkey * 7907)   % 1000000 AS x,
+             (c_custkey * 104717) % 1000000 AS y
+      FROM customer
+    )
+    SELECT id_a, id_b,
+           (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+    FROM a, b
+    WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+          <= 400000000
+    ORDER BY id_a, id_b
+    """,
+)
+def j11_spatial_grid_join(spark, sf_dir):
+    """J11: spatial radius near-join via grid-cell bucketing
+    (operators/geo.py grid_near_join): points bucketed into
+    radius-sized cells, side A exploded into its 3x3 cell
+    neighborhood, hash-equi-join on the cell key, exact integer
+    d2 <= r*r verify — never a cross join (no-cartesian plan pinned
+    in tests/test_r5h_ops.py). Coordinates are manufactured
+    deterministically from the keys (key*prime mod 10^6 micro-units)
+    identically in both engines; radius 20000. The ORACLE is the
+    exhaustive theta-join, so the external row checks the
+    grid-candidate LOSSLESSNESS claim itself (the v6/j10/dedup_ngram
+    oracle-checks-the-technique pattern). Zero float surface: squared
+    integer distances end to end. Reference analog: the bbox/nearest
+    classification of elevation/classifier.py:104-172 lifted to a
+    two-sided distributed near-join."""
+    from .operators.geo import grid_near_join
+
+    s = t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("id"),
+        ((F.col("s_suppkey") * 7919) % 1000000).alias("x"),
+        ((F.col("s_suppkey") * 104729) % 1000000).alias("y"),
+    )
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 7907) % 1000000).alias("x"),
+        ((F.col("c_custkey") * 104717) % 1000000).alias("y"),
+    )
+    return grid_near_join(s, c, 20000).orderBy("id_a", "id_b")
+
+
+@q(
+    "a36_countmin_freq",
+    """
+    WITH ev AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+    js AS (SELECT j FROM range(0, 3) t(j)),
+    ins AS (
+      SELECT j,
+             CAST(CAST('0x' || substring(
+                    md5(CAST(j AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)),
+                    1, 8) AS UBIGINT) % 64 AS BIGINT) AS bucket
+      FROM ev, js
+    ),
+    sketch AS (SELECT j, bucket, count(*) AS bucket_n FROM ins GROUP BY j, bucket),
+    exact AS (SELECT user_id, count(*) AS exact_n FROM ev GROUP BY user_id),
+    kb AS (
+      SELECT user_id, exact_n, j,
+             CAST(CAST('0x' || substring(
+                    md5(CAST(j AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)),
+                    1, 8) AS UBIGINT) % 64 AS BIGINT) AS bucket
+      FROM exact, js
+    ),
+    est AS (
+      SELECT user_id, exact_n, min(bucket_n) AS est_n
+      FROM kb JOIN sketch USING (j, bucket)
+      GROUP BY user_id, exact_n
+    )
+    SELECT user_id, exact_n, est_n, est_n - exact_n AS overcount
+    FROM est
+    ORDER BY exact_n DESC, user_id
+    LIMIT 20
+    """,
+)
+def a36_countmin_freq(spark, sf_dir):
+    """A36: Count-Min sketch frequency estimation (operators/freq.py
+    countmin_sketch/countmin_estimates) — the frequency member of the
+    mergeable-sketch family beside a2's HLL (distinct) and a24's
+    Misra-Gries (heavy hitters). The sketch is built DIRECTLY from
+    the event stream with fixed depth x width = 3 x 64 counters:
+    map-side combine collapses every partition to <= 192 partial
+    rows, so at 10^12 events the shuffle and reducer state are
+    CONSTANT — no per-key expansion anywhere. Estimates for the top
+    20 users then cost one broadcast of the 192-cell frame. Row
+    hashes are the portable md5-hex idiom (mix_corpus/p11), so the
+    DuckDB oracle computes the IDENTICAL sketch cell-for-cell and the
+    external row pins est/exact/overcount exactly; est >= exact is
+    structural (every cell containing a key's increments at least).
+    Reference analog: the eager value-frequency maps of
+    schema_statistics.py as a bounded-memory mergeable summary."""
+    from .operators.freq import countmin_estimates
+
+    ev = t(spark, sf_dir, "events")
+    exact = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    est = countmin_estimates(ev, exact, "user_id", depth=3, width=64)
+    return (
+        exact.join(est, "user_id")
+        .select(
+            "user_id",
+            "exact_n",
+            "est_n",
+            (F.col("est_n") - F.col("exact_n")).alias("overcount"),
+        )
+        .orderBy(F.desc("exact_n"), "user_id")
+        .limit(20)
+    )
+
+
+@q(
+    "streaming_static_join",
+    """
+    SELECT event_id, user_id, event_type, s_name, s_nationkey
+    FROM events JOIN supplier ON user_id % 100 = s_suppkey
+    ORDER BY event_id
+    """,
+)
+def streaming_static_join(spark, sf_dir):
+    """§2.11 stream-static join — the SEVENTH streaming surface:
+    dimension-table enrichment of an event stream (readStream events
+    hash-joined to the static broadcast supplier dim on a derived
+    key), stateless append mode — no watermark, no state store; each
+    microbatch joins against the (rebroadcast-per-batch) static side,
+    which is exactly how a 100-TB pipeline enriches a firehose
+    against slowly-changing dims without a stream-stream state
+    contract. Exactly SQL-oracled by the batch join: a stateless
+    inner join emits each input row at most once, so the availableNow
+    drain's append output equals the batch result row-for-row."""
+    schema = t(spark, sf_dir, "events").schema
+    stream = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.*")
+    supp = F.broadcast(
+        t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    )
+    out = (
+        stream.select("event_id", "user_id", "event_type")
+        .join(supp, (F.col("user_id") % 100) == F.col("s_suppkey"))
+        .select("event_id", "user_id", "event_type", "s_name", "s_nationkey")
+    )
+    return _drain_to_memory(
+        out, "stream_sjoin", _sf_tag(sf_dir), "append"
+    ).orderBy("event_id")
+
+
+@q(
+    "a37_weighted_median",
+    """
+    WITH v AS (
+      SELECT l_returnflag,
+             CAST(round(l_quantity) AS BIGINT) AS val,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS w
+      FROM lineitem
+    ), c AS (
+      SELECT l_returnflag, val, w,
+             sum(w) OVER (PARTITION BY l_returnflag ORDER BY val) AS cum,
+             sum(w) OVER (PARTITION BY l_returnflag) AS tot
+      FROM v
+    )
+    SELECT l_returnflag,
+           min(val) AS weighted_median,
+           max(tot) AS total_w
+    FROM c
+    WHERE 2 * cum >= tot
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def a37_weighted_median(spark, sf_dir):
+    """A37: exact WEIGHTED median per group (price-weighted quantity)
+    — the lower weighted median: smallest value whose cumulative
+    weight reaches half the total. Rank-defined on exact BIGINT
+    weights (cents), zero float surface (the a34/a32 discipline with
+    weights). The cumulative window's default RANGE frame makes ties
+    peers — all rows of an equal value share the full tie-group
+    cumsum in BOTH engines, so the selected value is deterministic
+    under any input order. Scale shape: one hash shuffle on the group
+    key + per-group sort; the sketch alternative for 100-TB groups is
+    a16's approx_percentile tier — this is the exact validation tier
+    beside it. Reference analog: the median summaries of
+    schema_statistics.py, weight-generalized."""
+    v = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round("l_quantity").cast("bigint").alias("val"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("w"),
+    )
+    cum = F.sum("w").over(W.partitionBy("l_returnflag").orderBy("val"))
+    tot = F.sum("w").over(W.partitionBy("l_returnflag"))
+    c = v.select("l_returnflag", "val", F.col("w"), cum.alias("cum"), tot.alias("tot"))
+    return (
+        c.where(2 * F.col("cum") >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("val").alias("weighted_median"),
+            F.max("tot").alias("total_w"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # --- driver CORRECTNESS window ordering ---------------------------------------
 #
 # The external driver oracle-checks the FIRST 50 registered queries per

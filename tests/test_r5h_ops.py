@@ -1,0 +1,157 @@
+"""Structural and losslessness tests for the r5h batch: grid spatial
+join, Count-Min sketch, stream-static join, weighted median."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from biosample_enricher_spark.operators.freq import (
+    countmin_estimates,
+    countmin_sketch,
+)
+from biosample_enricher_spark.operators.geo import grid_near_join
+from biosample_enricher_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _random_points(spark, seed, n, lo=0, hi=1_000_000):
+    rng = random.Random(seed)
+    rows = [(i, rng.randrange(lo, hi), rng.randrange(lo, hi)) for i in range(n)]
+    return rows, spark.createDataFrame(rows, "id long, x long, y long")
+
+
+def _exhaustive_pairs(rows_a, rows_b, radius):
+    r2 = radius * radius
+    out = set()
+    for ia, xa, ya in rows_a:
+        for ib, xb, yb in rows_b:
+            d2 = (xa - xb) ** 2 + (ya - yb) ** 2
+            if d2 <= r2:
+                out.add((ia, ib, d2))
+    return out
+
+
+def test_grid_near_join_equals_exhaustive_on_random_points(spark):
+    """Losslessness: the 3x3-neighborhood candidate set must recover
+    EVERY pair the all-pairs check finds, at two radii (cells resize
+    with the radius, so both cell geometries are exercised), including
+    boundary pairs sitting exactly at d2 == r*r."""
+    rows_a, a = _random_points(spark, 7, 60)
+    rows_b, b = _random_points(spark, 11, 400)
+    for radius in (15_000, 60_000):
+        got = {
+            (r.id_a, r.id_b, r.d2)
+            for r in grid_near_join(a, b, radius).collect()
+        }
+        assert got == _exhaustive_pairs(rows_a, rows_b, radius)
+
+
+def test_grid_near_join_boundary_pair_and_cell_straddle(spark):
+    """A pair exactly at distance r straddling a cell border (cells
+    differ by 1 on both axes) must be found, and a pair 1 unit past r
+    must not."""
+    a = spark.createDataFrame([(1, 19_999, 19_999)], "id long, x long, y long")
+    b = spark.createDataFrame(
+        [(10, 19_999 + 20_000, 19_999), (11, 19_999 + 20_001, 19_999)],
+        "id long, x long, y long",
+    )
+    got = [(r.id_a, r.id_b, r.d2) for r in grid_near_join(a, b, 20_000).collect()]
+    assert got == [(1, 10, 20_000 * 20_000)]
+
+
+def test_grid_near_join_plan_is_equi_join_not_cartesian(spark):
+    """The whole point of the grid: the plan must hash-join on the
+    cell key, never cross-join the two sides."""
+    _, a = _random_points(spark, 3, 50)
+    _, b = _random_points(spark, 5, 50)
+    plan = grid_near_join(a, b, 20_000)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_countmin_overestimates_every_key_and_bounds_error(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    exact = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    est = countmin_estimates(ev, exact, "user_id", depth=3, width=64)
+    joined = exact.join(est, "user_id").collect()
+    n_total = sum(r.exact_n for r in joined)
+    assert len(joined) > 0
+    for r in joined:
+        assert r.est_n >= r.exact_n, r  # structural: never undercounts
+        # CM bound: P[over > e*N/w] < e^-depth per key; assert the far
+        # looser deterministic row-sum cap (a cell never exceeds N).
+        assert r.est_n - r.exact_n <= n_total
+
+
+def test_countmin_sketch_is_fixed_size_and_mergeable(spark):
+    """Cells are <= depth*width regardless of cardinality, and the
+    sketch of a union is the cell-wise SUM of the parts' sketches —
+    the mergeable-summaries property that makes it a distributive
+    aggregate at 100 TB."""
+    ev = spark.read.parquet(f"{SF}/events.parquet").where(
+        F.col("user_id").isNotNull()
+    )
+    whole = {
+        (r.j, r.bucket): r.bucket_n
+        for r in countmin_sketch(ev, "user_id", 3, 64).collect()
+    }
+    assert len(whole) <= 3 * 64
+    pa = ev.where(F.col("event_id") % 2 == 0)
+    pb = ev.where(F.col("event_id") % 2 == 1)
+    merged: dict[tuple, int] = {}
+    for part in (pa, pb):
+        for r in countmin_sketch(part, "user_id", 3, 64).collect():
+            merged[(r.j, r.bucket)] = merged.get((r.j, r.bucket), 0) + r.bucket_n
+    assert merged == whole
+
+
+def test_weighted_median_matches_python_on_planted_ties(spark, tmp_path):
+    """Lower weighted median with heavy ties: the RANGE-frame peer
+    semantics must pick the same value a direct Python scan picks."""
+    rows = [
+        # (flag, val, weight_cents) — group A: ties at the median
+        ("A", 1, 100), ("A", 2, 100), ("A", 2, 100), ("A", 9, 100),
+        # group B: single dominant weight wins outright
+        ("B", 5, 1), ("B", 7, 1000), ("B", 9, 1),
+        # group C: exact half boundary -> 2*cum == tot selects val 3
+        ("C", 3, 500), ("C", 8, 500),
+    ]
+    df = spark.createDataFrame(
+        [(f, float(v), w / 100.0) for f, v, w in rows],
+        "l_returnflag string, l_quantity double, l_extendedprice double",
+    )
+    out = str(tmp_path / "wm")
+    df.write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+    got = {
+        (r.l_returnflag, r.weighted_median, r.total_w)
+        for r in QUERIES["a37_weighted_median"](spark, out).collect()
+    }
+
+    def py_wmedian(group):
+        group = sorted(group)
+        tot = sum(w for _, w in group)
+        cum = 0
+        # peer semantics: accumulate full tie-groups before testing
+        i = 0
+        while i < len(group):
+            v = group[i][0]
+            while i < len(group) and group[i][0] == v:
+                cum += group[i][1]
+                i += 1
+            if 2 * cum >= tot:
+                return v, tot
+        raise AssertionError
+
+    exp = set()
+    for flag in ("A", "B", "C"):
+        g = [(v, w) for f, v, w in rows if f == flag]
+        v, tot = py_wmedian(g)
+        exp.add((flag, v, tot))
+    assert got == exp
