@@ -7122,6 +7122,234 @@ def a37_weighted_median(spark, sf_dir):
     )
 
 
+@q(
+    "v11_range_checksum_diff",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100.0) AS BIGINT) AS cents,
+             o_orderstatus AS st
+      FROM orders
+    ),
+    v_old AS (SELECT * FROM base WHERE k % 97 != 3),
+    v_new AS (
+      SELECT k,
+             cents + CASE WHEN k % 13 = 0 THEN 500 ELSE 0 END AS cents,
+             st
+      FROM base WHERE k % 89 != 5
+    ),
+    co AS (
+      SELECT k // 256 AS range_id, count(*) AS n_old,
+             sum(CAST(CAST('0x' || substring(
+                   md5(CAST(cents AS VARCHAR) || '|' || st), 1, 12)
+                 AS UBIGINT) AS BIGINT)) AS sum_old
+      FROM v_old GROUP BY 1
+    ),
+    cn AS (
+      SELECT k // 256 AS range_id, count(*) AS n_new,
+             sum(CAST(CAST('0x' || substring(
+                   md5(CAST(cents AS VARCHAR) || '|' || st), 1, 12)
+                 AS UBIGINT) AS BIGINT)) AS sum_new
+      FROM v_new GROUP BY 1
+    )
+    SELECT range_id,
+           coalesce(n_old, 0)   AS n_old,
+           coalesce(n_new, 0)   AS n_new,
+           coalesce(sum_old, 0) AS sum_old,
+           coalesce(sum_new, 0) AS sum_new
+    FROM co FULL OUTER JOIN cn USING (range_id)
+    WHERE coalesce(n_old, 0) != coalesce(n_new, 0)
+       OR coalesce(sum_old, 0) != coalesce(sum_new, 0)
+    ORDER BY range_id
+    """,
+)
+def v11_range_checksum_diff(spark, sf_dir):
+    """V11: range-checksum reconciliation (operators/profile.py
+    range_checksum_diff) — the escalation rung between
+    v4_table_fingerprint (ONE checksum row: did anything change) and
+    v8_snapshot_diff (row-level: which keys changed): per-key-range
+    (key div 256) order-independent BIGINT sums of a 48-bit md5 row
+    fingerprint, full-outer-joined across versions, emitting only the
+    ranges that differ. At 10^12 rows the compare ships |keys|/256
+    summary rows per side (map-side mergeable sums — the Merkle tree
+    flattened to one level) and only differing ranges escalate to the
+    row diff. Versions are manufactured with v8's exact plant
+    constants (k%97/k%89 presence, k%13 +500-cent change) so the two
+    audits cross-reference. Zero float: cents + integer checksums."""
+    from .operators.profile import range_checksum_diff
+
+    base = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100.0).cast("long").alias("cents"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    old = base.where(F.col("k") % 97 != 3)
+    new = base.where(F.col("k") % 89 != 5).withColumn(
+        "cents",
+        F.col("cents")
+        + F.when(F.col("k") % 13 == 0, F.lit(500)).otherwise(F.lit(0)),
+    )
+    fp = F.concat_ws("|", F.col("cents").cast("string"), F.col("st"))
+    return range_checksum_diff(old, new, "k", fp, 256).orderBy("range_id")
+
+
+@q("g1_pagerank")
+def g1_pagerank(spark, sf_dir):
+    """G1: PageRank in exact fixed-point arithmetic (operators/
+    graph.py) — the weighted iterative-propagation workload beside
+    connected_components' label propagation: 12 damped rounds of
+    rank div outdeg message passing with uniform dangling-mass
+    redistribution, ALL in BIGINT fixed-point (1e-15 units), so the
+    result is bit-deterministic across runs, partitionings and
+    parallelism (float message sums are order-dependent; integer
+    sums are not — the a23/a25 exactness discipline applied to an
+    iterative algorithm). Graph: the deterministic order→part
+    link graph (l_orderkey%1000 → l_partkey%1000, deduped). Not
+    SQL-expressible as one query (iterative driver loop) → rows-only
+    externally; pinned in-repo by a numpy power-iteration cross-check
+    (|Δ| < 1e-6), two-run bit-equality, and mass conservation
+    (tests/test_r5i_ops.py)."""
+    from .operators.graph import pagerank
+
+    edges = (
+        t(spark, sf_dir, "lineitem")
+        .select(
+            (F.col("l_orderkey") % 1000).alias("src"),
+            (F.col("l_partkey") % 1000).alias("dst"),
+        )
+        .distinct()
+    )
+    pr = pagerank(edges, iterations=12)
+    return pr.select(
+        "node",
+        "rank_fp",
+        F.round(F.col("rank_fp") / F.lit(1e15), 9).alias("rank"),
+    ).orderBy(F.desc("rank_fp"), "node")
+
+
+@q(
+    "j12_bucketed_join",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_items,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def j12_bucketed_join(spark, sf_dir):
+    """J12: shuffle-free co-located join via bucketed table layout
+    (sources/bucketed.py write_bucketed) — the batch analog of
+    Iceberg's bucket(N, key) partition transform: both tables are
+    materialized bucketed (8 buckets, sorted) on the join key, so the
+    SortMergeJoin reads matching bucket files directly and the
+    physical plan has NO Exchange on either side (pinned in
+    tests/test_plans.py::test_bucketed_join_has_no_shuffle; at 100 TB
+    this removes the dominant repeated-join shuffle permanently).
+    The ORACLE is the plain join, so the external row checks that the
+    bucketed layout preserves join semantics exactly. The write
+    happens per run (idempotent overwrite) — in production the layout
+    is written once and amortized over every later join."""
+    from .sources.bucketed import read_table, write_bucketed
+
+    tag = _sf_tag(sf_dir).replace(".", "_")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    write_bucketed(
+        orders, f"bkt_orders_{tag}", f"/tmp/bkt_{tag}/orders", "o_orderkey", 8
+    )
+    write_bucketed(
+        li, f"bkt_li_{tag}", f"/tmp/bkt_{tag}/lineitem", "l_orderkey", 8
+    )
+    bo = read_table(spark, f"bkt_orders_{tag}")
+    bl = read_table(spark, f"bkt_li_{tag}")
+    return (
+        bo.join(bl, bo["o_orderkey"] == bl["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("cents").alias("cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@q(
+    "fn2_last_touch_attribution",
+    """
+    WITH w AS (
+      SELECT event_id, user_id, event_type,
+             epoch_us(ts) AS ts_us,
+             last_value(CASE WHEN event_type IN ('view', 'click')
+                             THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS attributed_event_id,
+             last_value(CASE WHEN event_type IN ('view', 'click')
+                             THEN epoch_us(ts) END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS touch_us
+      FROM events WHERE user_id IS NOT NULL
+    )
+    SELECT event_id, user_id, attributed_event_id,
+           ts_us - touch_us AS attr_age_us
+    FROM w
+    WHERE event_type = 'purchase'
+    ORDER BY event_id
+    """,
+)
+def fn2_last_touch_attribution(spark, sf_dir):
+    """FN2: last-touch marketing attribution — each purchase is
+    credited to the user's most recent view/click at or before it
+    (fn1's funnel asks "did the user convert"; this asks "which
+    touchpoint gets the credit"). One per-user window with the
+    ignorenulls last() carry (the w9 forward-fill machinery applied
+    to attribution), fully tie-broken (ts, event_id) so same-instant
+    events resolve identically in both engines; age is exact integer
+    microseconds, NULL when the purchase has no preceding touch.
+    Scale: one hash shuffle on user_id, per-user sort — no self-join,
+    no state beyond the running carry."""
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    is_touch = F.col("event_type").isin("view", "click")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    e = (
+        t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "ts",
+            ts_us.alias("ts_us"),
+            F.last(F.when(is_touch, F.col("event_id")), ignorenulls=True)
+            .over(w)
+            .alias("attributed_event_id"),
+            F.last(F.when(is_touch, ts_us), ignorenulls=True)
+            .over(w)
+            .alias("touch_us"),
+        )
+    )
+    return (
+        e.where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "attributed_event_id",
+            (F.col("ts_us") - F.col("touch_us")).alias("attr_age_us"),
+        )
+        .orderBy("event_id")
+    )
+
+
 # --- driver CORRECTNESS window ordering ---------------------------------------
 #
 # The external driver oracle-checks the FIRST 50 registered queries per
