@@ -186,15 +186,21 @@ def countmin_estimates(
     cell containing k's increments at least), expected overcount
     ≤ e·N/width per the CM bound. The sketch cell frame (≤ depth·width
     rows) is broadcast, so estimating any number of keys costs one
-    scan of ``keys`` and zero extra shuffle."""
+    scan of ``keys`` and zero extra shuffle.
+
+    Empty cells count as 0 (left join + coalesce): a queried key the
+    stream never saw whose cells are all collision-free estimates 0,
+    exactly as the counter-array formulation does — an inner join
+    would silently DROP the empty cell from the min and overestimate
+    absent keys (pinned in tests/test_r5h_ops.py)."""
     sketch = countmin_sketch(items, key_col, depth, width)
     kj = keys.select(
         F.col(key_col).alias("k"),
         F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("j"),
     ).select("k", "j", _cms_bucket(F.col("j"), F.col("k"), width).alias("bucket"))
     return (
-        kj.join(F.broadcast(sketch), ["j", "bucket"])
+        kj.join(F.broadcast(sketch), ["j", "bucket"], "left")
         .groupBy("k")
-        .agg(F.min("bucket_n").alias("est_n"))
+        .agg(F.min(F.coalesce("bucket_n", F.lit(0))).alias("est_n"))
         .select(F.col("k").alias(key_col), "est_n")
     )

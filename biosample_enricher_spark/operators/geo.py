@@ -156,7 +156,7 @@ def land_ocean_class(lat: Column, lon: Column) -> Column:
 
 
 def grid_near_join(
-    pts_a,  # DataFrame (id, x, y) — integer, NON-NEGATIVE coords
+    pts_a,  # DataFrame (id, x, y) — integer coords, any sign
     pts_b,  # DataFrame (id, x, y) — same units
     radius: int,
 ):
@@ -164,9 +164,13 @@ def grid_near_join(
     that never goes all-pairs.
 
     Both point sets are assigned to square cells of side ``radius``
-    (``cell = coord div radius`` — exact integer floor for the
-    required NON-NEGATIVE coordinates; float division is deliberately
-    avoided because a 1-ulp boundary flip could widen the cell gap of
+    (``cell = (coord - pmod(coord, radius)) div radius`` — exact
+    integer FLOOR division for coordinates of either sign: pmod is
+    always in [0, radius), so the subtraction lands on the greatest
+    multiple of radius ≤ coord and the ``div`` of an exact multiple
+    is exact; a plain ``div`` truncates toward zero and mis-cells
+    negative coordinates, and float division is deliberately avoided
+    because a 1-ulp boundary flip could widen the cell gap of
     a qualifying pair beyond the 3x3 neighborhood). Side A is
     exploded into its cell plus the 8 neighbors, then hash-equi-joined
     to B on the cell key and verified with the EXACT integer predicate
@@ -191,12 +195,16 @@ def grid_near_join(
     per-row box tests to a two-sided distributed near-join.
     """
     r2 = radius * radius
+
+    def cell(c: str) -> Column:
+        return F.expr(f"({c} - pmod({c}, {radius})) div {radius}")
+
     a = pts_a.select(
         F.col("id").alias("id_a"),
         F.col("x").alias("xa"),
         F.col("y").alias("ya"),
-        F.expr(f"x div {radius}").alias("ca_x"),
-        F.expr(f"y div {radius}").alias("ca_y"),
+        cell("x").alias("ca_x"),
+        cell("y").alias("ca_y"),
     )
     offsets = F.array(
         *[
@@ -223,8 +231,8 @@ def grid_near_join(
         F.col("id").alias("id_b"),
         F.col("x").alias("xb"),
         F.col("y").alias("yb"),
-        F.expr(f"x div {radius}").alias("cx"),
-        F.expr(f"y div {radius}").alias("cy"),
+        cell("x").alias("cx"),
+        cell("y").alias("cy"),
     )
     dx = F.col("xa") - F.col("xb")
     dy = F.col("ya") - F.col("yb")

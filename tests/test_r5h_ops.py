@@ -155,3 +155,46 @@ def test_weighted_median_matches_python_on_planted_ties(spark, tmp_path):
         v, tot = py_wmedian(g)
         exp.add((flag, v, tot))
     assert got == exp
+
+
+def test_grid_near_join_handles_negative_coordinates(spark):
+    """Floor-division cell math: a truncating div would put (-1, -1)
+    and (1, 1) in the SAME cell 0 (fine) but (-10001, 0) and
+    (9999, 0) two cells apart while a straddling near pair around a
+    negative boundary would be missed. Exhaustive check on a grid of
+    points spanning both signs."""
+    rows_a = [(i, x, y) for i, (x, y) in enumerate(
+        (dx * 7001 - 15000, dy * 6337 - 15000)
+        for dx in range(5) for dy in range(5)
+    )]
+    rows_b = [(100 + i, x, y) for i, (x, y) in enumerate(
+        (dx * 6673 - 14000, dy * 7411 - 16000)
+        for dx in range(5) for dy in range(5)
+    )]
+    a = spark.createDataFrame(rows_a, "id long, x long, y long")
+    b = spark.createDataFrame(rows_b, "id long, x long, y long")
+    radius = 10_000
+    got = {
+        (r.id_a, r.id_b, r.d2) for r in grid_near_join(a, b, radius).collect()
+    }
+    exp = _exhaustive_pairs(rows_a, rows_b, radius)
+    assert got == exp and len(exp) > 0
+
+
+def test_countmin_absent_key_estimates_zero_via_empty_cell(spark):
+    """A queried key the stream never saw must estimate 0 whenever
+    any of its cells is empty — the left-join + coalesce(0) contract
+    (an inner join would drop the empty cell from the min)."""
+    items = spark.createDataFrame([("a",)] * 5 + [("b",)] * 3, "k string")
+    # probe many absent keys: with 3 rows x 64 buckets and only 2
+    # occupied cells per row, almost every absent key hits an empty
+    # cell; assert at least one absent key estimates exactly 0 and
+    # that no absent key estimates above the total mass.
+    absent = spark.createDataFrame([(f"zz{i}",) for i in range(30)], "k string")
+    est = {
+        r.k: r.est_n
+        for r in countmin_estimates(items, absent, "k", 3, 64).collect()
+    }
+    assert len(est) == 30
+    assert min(est.values()) == 0
+    assert max(est.values()) <= 8
