@@ -126,3 +126,83 @@ def overlap_count(spans: Column) -> Column:
     return F.when(F.size(iv) < 2, F.lit(0).cast("long")).otherwise(
         F.get(F.transform(F.array(iv), adjacent_overlaps), 0)
     )
+
+
+def kind_grammar_audit(kinds: Column) -> Column:
+    """Grammar audit over a document's span-KIND sequence, as
+    ``struct<n_spans, starts_with_media, ends_with_media,
+    n_adjacent_media>`` — the sequence-shape complement of
+    offset_ordering (positions) and overlap_count (intervals): an
+    interleaved training document should open and close with text and
+    never put two media spans back-to-back (nothing anchors the
+    second one to the token stream). Media kinds per
+    ``spec.MEDIA_KINDS``. Empty/null-safe: a 0-span doc reports
+    (0, false, false, 0). Pure higher-order Column expressions —
+    per-row, JVM-side, zero shuffle (the sp1/sp2 discipline)."""
+    from ..spec import MEDIA_KINDS
+
+    def is_media(k: Column) -> Column:
+        return F.coalesce(k.isin(*MEDIA_KINDS), F.lit(False))
+
+    n = F.size(kinds)
+    starts = F.when(n > 0, is_media(F.element_at(kinds, 1))).otherwise(
+        F.lit(False)
+    )
+    ends = F.when(n > 0, is_media(F.element_at(kinds, -1))).otherwise(
+        F.lit(False)
+    )
+    # slice length must be >= 0 — a 0-span doc would pass -1
+    pairs_len = F.greatest(n - 1, F.lit(0))
+    adj = F.aggregate(
+        F.zip_with(
+            F.slice(kinds, F.lit(1), pairs_len),
+            F.slice(kinds, F.lit(2), pairs_len),
+            lambda a, b: F.when(is_media(a) & is_media(b), F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return F.struct(
+        n.cast("long").alias("n_spans"),
+        starts.alias("starts_with_media"),
+        ends.alias("ends_with_media"),
+        adj.alias("n_adjacent_media"),
+    )
+
+
+def token_budget(spans: Column, media_cost: int = 64) -> Column:
+    """Per-document token accounting over an interleaved span array:
+    text spans cost ``(len + 3) div 4`` tokens (the ~4-chars-per-BPE-
+    token heuristic, EXACT integer arithmetic), media spans a fixed
+    ``media_cost`` placeholder tokens (vision-token style). Returns
+    ``struct<text_tokens, media_tokens, total_tokens>`` — the packing
+    pre-pass that decides whether a doc fits a training-context
+    budget before x9's chunk assembly. Null text counts 0. Pure HOFs,
+    zero shuffle."""
+    # (len + 3) / 4 is EXACT in IEEE double (division by a power of
+    # two preserves the integer's bits; quotient has <= 2 fractional
+    # bits), so the long cast is a true per-span floor:
+    text_tokens = F.aggregate(
+        spans,
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + F.when(
+            s["kind"] == "text",
+            ((F.coalesce(F.length(s["text"]), F.lit(0)) + 3) / 4).cast("long"),
+        ).otherwise(F.lit(0)),
+    )
+    media_tokens = F.aggregate(
+        spans,
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + F.when(s["kind"] != "text", F.lit(int(media_cost))).otherwise(
+            F.lit(0)
+        ),
+    )
+    return F.struct(
+        text_tokens.alias("text_tokens"),
+        media_tokens.alias("media_tokens"),
+        (text_tokens + media_tokens).alias("total_tokens"),
+    )

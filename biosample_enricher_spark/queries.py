@@ -7350,6 +7350,199 @@ def fn2_last_touch_attribution(spark, sf_dir):
     )
 
 
+@q(
+    "sp3_kind_grammar",
+    """
+    SELECT doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 3
+                           WHEN 2 THEN 2 ELSE 3 END AS n_spans,
+           (doc_id % 4 = 2)             AS starts_with_media,
+           (doc_id % 4 = 3)             AS ends_with_media,
+           CAST(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END AS BIGINT)
+                                        AS n_adjacent_media,
+           (doc_id % 4 IN (0, 1))       AS ok
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def sp3_kind_grammar(spark, sf_dir):
+    """SP3: span-kind GRAMMAR audit on the interleaved shape
+    (operators/spans.py kind_grammar_audit) — the sequence-shape
+    member of the span family (sp1 repairs positions, sp2 checks
+    intervals, this checks the kind sequence itself): an interleaved
+    training doc should open/close with text and never put two media
+    spans back-to-back. Pure HOF Column expressions, per-row, zero
+    shuffle. The driver table is lifted into one of four
+    deterministic kind sequences by doc_id%4 — [text],
+    [text,image,text], [image,text] (bad open), [text,image,image]
+    (adjacent media + bad close) — and the ORACLE states the expected
+    verdicts in closed form, externally checking the HOF machinery;
+    arbitrary-sequence behavior is pinned against a Python reference
+    in tests/test_r5j_ops.py."""
+    from .operators.spans import kind_grammar_audit
+
+    d = t(spark, sf_dir, "documents")
+    ks = (
+        F.when(F.col("doc_id") % 4 == 0, F.array(F.lit("text")))
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.array(F.lit("text"), F.lit("image"), F.lit("text")),
+        )
+        .when(F.col("doc_id") % 4 == 2, F.array(F.lit("image"), F.lit("text")))
+        .otherwise(F.array(F.lit("text"), F.lit("image"), F.lit("image")))
+    )
+    g = d.select("doc_id", kind_grammar_audit(ks).alias("g"))
+    return g.select(
+        "doc_id",
+        F.col("g.n_spans").alias("n_spans"),
+        F.col("g.starts_with_media").alias("starts_with_media"),
+        F.col("g.ends_with_media").alias("ends_with_media"),
+        F.col("g.n_adjacent_media").alias("n_adjacent_media"),
+        (
+            ~F.col("g.starts_with_media")
+            & ~F.col("g.ends_with_media")
+            & (F.col("g.n_adjacent_media") == 0)
+        ).alias("ok"),
+    ).orderBy("doc_id")
+
+
+@q(
+    "x14_span_token_budget",
+    """
+    WITH d AS (
+      SELECT doc_id, CAST(floor((length(text) + 1) / 2) AS BIGINT) AS cl,
+             CAST(length(text) AS BIGINT) AS L
+      FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    )
+    SELECT doc_id,
+           (cl + 3) // 4 + (L - cl + 3) // 4 AS text_tokens,
+           CAST(64 AS BIGINT)                AS media_tokens,
+           (cl + 3) // 4 + (L - cl + 3) // 4 + 64 AS total_tokens,
+           ((cl + 3) // 4 + (L - cl + 3) // 4 + 64 > 128) AS over_budget
+    FROM d
+    ORDER BY doc_id
+    """,
+)
+def x14_span_token_budget(spark, sf_dir):
+    """X14: interleaved token-budget accounting (operators/spans.py
+    token_budget) — the packing pre-pass before x9's chunk assembly:
+    text spans cost (len+3) div 4 tokens (4-chars-per-BPE-token
+    heuristic, exact integer floor per span), media spans a fixed 64
+    placeholder tokens (vision-token style); docs over the 128-token
+    context budget are flagged. Pure HOFs per row, zero shuffle; at
+    10^12 docs this runs inside the scan's codegen stage. The doc is
+    lifted with sp1's exact 3-span split (text half, image, text
+    half), so the ORACLE states the per-half floors in closed form —
+    externally checking that the HOF fold applies the floor PER SPAN
+    (a single floor over the doc total would differ whenever the
+    halves' remainders interact)."""
+    from .operators.spans import token_budget
+
+    d = t(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    cl = F.floor((F.length("text") + 1) / 2).cast("int")
+    spans = F.array(
+        F.struct(
+            F.lit("text").alias("kind"),
+            F.col("text").substr(F.lit(1), cl).alias("text"),
+        ),
+        F.struct(
+            F.lit("image").alias("kind"),
+            F.lit(None).cast("string").alias("text"),
+        ),
+        F.struct(
+            F.lit("text").alias("kind"),
+            F.col("text").substr(cl + 1, F.length("text")).alias("text"),
+        ),
+    )
+    b = d.select("doc_id", token_budget(spans, media_cost=64).alias("b"))
+    return b.select(
+        "doc_id",
+        F.col("b.text_tokens").alias("text_tokens"),
+        F.col("b.media_tokens").alias("media_tokens"),
+        F.col("b.total_tokens").alias("total_tokens"),
+        (F.col("b.total_tokens") > 128).alias("over_budget"),
+    ).orderBy("doc_id")
+
+
+@q(
+    "v12_new_categories",
+    """
+    WITH old_half AS (
+      SELECT lang, source FROM documents WHERE doc_id % 7 < 4
+    ),
+    new_half AS (
+      SELECT CASE WHEN doc_id % 31 = 0 THEN lang || '-v2' ELSE lang END
+               AS lang,
+             source
+      FROM documents WHERE doc_id % 7 >= 4
+    ),
+    lang_new AS (
+      SELECT 'lang' AS col_name, lang AS category, count(*) AS n_docs
+      FROM new_half
+      WHERE lang IS NOT NULL
+        AND lang NOT IN (SELECT lang FROM old_half WHERE lang IS NOT NULL)
+      GROUP BY lang
+    ),
+    src_new AS (
+      SELECT 'source' AS col_name, source AS category, count(*) AS n_docs
+      FROM new_half
+      WHERE source IS NOT NULL
+        AND source NOT IN
+            (SELECT source FROM old_half WHERE source IS NOT NULL)
+      GROUP BY source
+    )
+    SELECT * FROM lang_new UNION ALL SELECT * FROM src_new
+    ORDER BY col_name, category
+    """,
+)
+def v12_new_categories(spark, sf_dir):
+    """V12: enum-domain drift — categories appearing in the NEW half
+    of a corpus that the OLD half never contained, per column (the
+    set-valued cousin of the drift family's frequency tests: PSI/KS
+    score shifts in SHARED categories; this catches vocabulary
+    EXPANSION, the classic schema-drift alarm for enum-ish fields).
+    Novel categories are planted deterministically in both engines
+    (doc_id%31 rows of the new half get lang||'-v2'); the old/new
+    split is doc_id%7 (coprime with the synthetic source period, so
+    both halves see every source — a %2 or %4 split correlates with
+    the source column and would spuriously mark half the sources
+    "new"). Per column: the
+    new half's distinct categories anti-joined against the old
+    half's (nulls excluded on both sides — NOT IN with a null domain
+    is three-valued-logic quicksand in ANSI SQL, so the exclusion is
+    explicit), then counted and union-tagged. Scale: two
+    partial-distinct anti-joins on small category domains — the
+    shuffle carries categories, never documents."""
+    d = t(spark, sf_dir, "documents")
+    old_half = d.where(F.col("doc_id") % 7 < 4)
+    new_half = d.where(F.col("doc_id") % 7 >= 4).withColumn(
+        "lang",
+        F.when(
+            F.col("doc_id") % 31 == 0, F.concat(F.col("lang"), F.lit("-v2"))
+        ).otherwise(F.col("lang")),
+    )
+    parts = []
+    for colname in ("lang", "source"):
+        nw = (
+            new_half.where(F.col(colname).isNotNull())
+            .groupBy(F.col(colname).alias("category"))
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+        )
+        od = (
+            old_half.where(F.col(colname).isNotNull())
+            .select(F.col(colname).alias("category"))
+            .distinct()
+        )
+        parts.append(
+            nw.join(od, "category", "left_anti").select(
+                F.lit(colname).alias("col_name"), "category", "n_docs"
+            )
+        )
+    return parts[0].unionByName(parts[1]).orderBy("col_name", "category")
+
+
 # --- driver CORRECTNESS window ordering ---------------------------------------
 #
 # The external driver oracle-checks the FIRST 50 registered queries per
