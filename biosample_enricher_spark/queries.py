@@ -7543,6 +7543,343 @@ def v12_new_categories(spark, sf_dir):
     return parts[0].unionByName(parts[1]).orderBy("col_name", "category")
 
 
+@q(
+    "er2_entity_groups",
+    """
+    WITH RECURSIVE n AS (SELECT DISTINCT p_name FROM part),
+    k AS (
+      SELECT p_name, left(p_name, 3) AS b1, right(p_name, 3) AS b2 FROM n
+    ),
+    c1 AS (
+      SELECT a.p_name AS name_a, b.p_name AS name_b
+      FROM k a JOIN k b ON a.b1 = b.b1 AND a.p_name < b.p_name
+    ),
+    c2 AS (
+      SELECT a.p_name AS name_a, b.p_name AS name_b
+      FROM k a JOIN k b ON a.b2 = b.b2 AND a.p_name < b.p_name
+    ),
+    cand AS (SELECT * FROM c1 UNION SELECT * FROM c2),
+    pairs AS (
+      SELECT name_a, name_b FROM cand
+      WHERE levenshtein(name_a, name_b) BETWEEN 1 AND 2
+    ),
+    sym AS (
+      SELECT name_a AS a, name_b AS b FROM pairs
+      UNION SELECT name_b, name_a FROM pairs
+    ),
+    reach AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    grp AS (
+      SELECT a AS name, least(a, min(b)) AS group_name
+      FROM reach GROUP BY a
+    ),
+    sz AS (SELECT group_name, count(*) AS group_size FROM grp GROUP BY 1)
+    SELECT g.name, g.group_name, s.group_size
+    FROM grp g JOIN sz s USING (group_name)
+    ORDER BY g.group_name, g.name
+    """,
+)
+def er2_entity_groups(spark, sf_dir):
+    """ER2: entity-resolution GROUPS — er1's fuzzy pairs closed into
+    transitive match groups by connected components (dedup.py
+    connected_components, min-label + pointer jumping), labeled by
+    the lexicographically smallest member name. The ORACLE computes
+    the transitive closure with a genuine WITH RECURSIVE CTE — the
+    first EXTERNAL check of the CC operator on an arbitrary (not
+    planted-closed-form) graph: every prior CC oracle stated cluster
+    ids in closed form on a planted chain. Names map to dense ids by
+    row_number over sorted names, so min-id == lexicomin-name and the
+    label semantics coincide. Scale: pairs come from er1's bounded
+    blocking; CC rounds are O(log diameter); the closure CTE is
+    oracle-side only (quadratic per component — fine at sf0.01,
+    never run by the engine)."""
+    from .operators.dedup import connected_components
+
+    pairs = QUERIES["er1_fuzzy_name_match"](spark, sf_dir)
+    names = (
+        pairs.select(F.col("name_a").alias("name"))
+        .union(pairs.select("name_b"))
+        .distinct()
+    )
+    ids = names.select(
+        "name",
+        F.row_number().over(W.orderBy("name")).alias("nid"),
+    )
+    idp = (
+        pairs.join(ids.withColumnRenamed("name", "name_a"), "name_a")
+        .withColumnRenamed("nid", "id_a")
+        .join(
+            ids.withColumnRenamed("name", "name_b").withColumnRenamed(
+                "nid", "id_b"
+            ),
+            "name_b",
+        )
+        .select("id_a", "id_b")
+    )
+    cc = connected_components(idp)
+    labeled = (
+        cc.join(ids, cc["doc_id"] == ids["nid"])
+        .select("name", F.col("cluster_id").alias("gid"))
+        .join(
+            ids.select(
+                F.col("name").alias("group_name"), F.col("nid").alias("gid")
+            ),
+            "gid",
+        )
+        .select("name", "group_name")
+    )
+    sz = labeled.groupBy("group_name").agg(F.count(F.lit(1)).alias("group_size"))
+    return (
+        labeled.join(sz, "group_name")
+        .select("name", "group_name", "group_size")
+        .orderBy("group_name", "name")
+    )
+
+
+@q(
+    "x15_clean_pipeline",
+    """
+    WITH raw AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 41 = 0 THEN '   '
+                  WHEN doc_id % 43 = 0 THEN '!!!???!!!'
+                  WHEN doc_id % 53 = 0 THEN 'dup dup dup'
+                  ELSE text END AS text
+      FROM documents
+    ),
+    present AS (
+      SELECT * FROM raw
+      WHERE text IS NOT NULL AND length(trim(text, ' ')) > 0
+    ),
+    scored AS (
+      SELECT *, CAST(floor(greatest(least(
+          least(len(string_split_regex(trim(text, ' '), '"""
+    + X.WS_RUN
+    + """')) / 100.0, 1.0) * 0.4
+          + (CASE WHEN length(text) > 0 THEN
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+               / length(text) ELSE 0.0 END) * 0.4
+          + 0.2
+          - least((CASE WHEN length(text) > 0 THEN
+               length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))
+               / length(text) ELSE 0.0 END) * 2.0, 0.2),
+        1.0), 0.0) * 1000000.0) AS BIGINT) AS q_micro
+      FROM present
+    ),
+    quality AS (SELECT * FROM scored WHERE q_micro >= 300000),
+    fp AS (
+      SELECT *, md5(trim(regexp_replace(lower(text), '"""
+    + X.WS_RUN
+    + """', ' ', 'g'), ' ')) AS f
+      FROM quality
+    ),
+    deduped AS (
+      SELECT * FROM fp
+      WHERE doc_id IN (SELECT min(doc_id) FROM fp GROUP BY f)
+    ),
+    sampled AS (
+      SELECT * FROM deduped
+      WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                 AS UBIGINT) / 4294967296.0 < 0.8
+    )
+    SELECT 1 AS stage_ord, 'raw' AS stage,
+           (SELECT count(*) FROM raw) AS n_docs
+    UNION ALL SELECT 2, 'present', (SELECT count(*) FROM present)
+    UNION ALL SELECT 3, 'quality', (SELECT count(*) FROM quality)
+    UNION ALL SELECT 4, 'deduped', (SELECT count(*) FROM deduped)
+    UNION ALL SELECT 5, 'sampled', (SELECT count(*) FROM sampled)
+    ORDER BY stage_ord
+    """,
+)
+def x15_clean_pipeline(spark, sf_dir):
+    """X15: the training-corpus CLEANING PIPELINE as one externally
+    checked composition — the C4-style funnel every 100-TB text
+    corpus goes through, built entirely from this engine's already-
+    oracled primitives: presence filter (s2) → quality threshold
+    (text_quality_score's exact q_micro ≥ 0.3) → exact-fingerprint
+    keep-first dedup (dedup_keep_first's md5 canonical form) →
+    deterministic 80% downsample (mix_corpus's md5-hex threshold).
+    Emits the per-stage funnel counts, so the external row checks the
+    COMPOSITION (each stage feeding the next), not just the pieces.
+    The driver corpus passes stages 2-4 untouched at sf0.01, so
+    per-stage failures are PLANTED deterministically in both engines
+    (doc_id%41 → whitespace-only text, %43 → all-punctuation junk
+    scoring q≈0.004, %53 → a shared duplicate text collapsing to one
+    keeper) — every rung of the funnel provably drops rows.
+    Scale shape: ONE scan computes every per-row stage flag (the
+    predicates nest), the dedup stage adds one fingerprint groupBy +
+    join-back, and a single conditional aggregate emits all five
+    funnel counts — never one count-job per stage."""
+    from .operators import text as X2
+
+    raw = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 41 == 0, F.lit("   "))
+        .when(F.col("doc_id") % 43 == 0, F.lit("!!!???!!!"))
+        .when(F.col("doc_id") % 53 == 0, F.lit("dup dup dup"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    present = F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+    q_micro = F.floor(X2.quality_score_raw(F.col("text")) * 1000000.0).cast(
+        "long"
+    )
+    quality = present & (q_micro >= 300000)
+    flagged = raw.select(
+        "doc_id",
+        present.alias("p_ok"),
+        quality.alias("q_ok"),
+        F.when(quality, X2.fingerprint(F.col("text"))).alias("f"),
+    )
+    keep = (
+        flagged.where("q_ok")
+        .groupBy("f")
+        .agg(F.min("doc_id").alias("min_id"))
+    )
+    frac = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    j = flagged.join(keep, "f", "left").select(
+        "p_ok",
+        "q_ok",
+        (F.col("q_ok") & (F.col("doc_id") == F.col("min_id"))).alias("d_ok"),
+        (
+            F.col("q_ok")
+            & (F.col("doc_id") == F.col("min_id"))
+            & (frac < 0.8)
+        ).alias("s_ok"),
+    )
+    one = j.agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.col("p_ok").cast("long")).alias("n_present"),
+        F.sum(F.col("q_ok").cast("long")).alias("n_quality"),
+        F.sum(F.col("d_ok").cast("long")).alias("n_deduped"),
+        F.sum(F.col("s_ok").cast("long")).alias("n_sampled"),
+    )
+    return one.select(
+        F.expr(
+            "stack(5, 1, 'raw', n_raw, 2, 'present', n_present, "
+            "3, 'quality', n_quality, 4, 'deduped', n_deduped, "
+            "5, 'sampled', n_sampled) AS (stage_ord, stage, n_docs)"
+        )
+    ).orderBy("stage_ord")
+
+
+@q(
+    "drift_quantile_shift",
+    """
+    WITH o AS (
+      SELECT lang, n_chars AS v FROM documents
+      WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL AND lang IS NOT NULL
+    ),
+    nw AS (
+      SELECT lang,
+             n_chars + CASE WHEN doc_id % 5 = 0 THEN 40 ELSE 0 END AS v
+      FROM documents
+      WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL AND lang IS NOT NULL
+    ),
+    ro AS (
+      SELECT lang, v,
+             row_number() OVER (PARTITION BY lang ORDER BY v) AS rn,
+             count(*)     OVER (PARTITION BY lang) AS n
+      FROM o
+    ),
+    rn2 AS (
+      SELECT lang, v,
+             row_number() OVER (PARTITION BY lang ORDER BY v) AS rn,
+             count(*)     OVER (PARTITION BY lang) AS n
+      FROM nw
+    ),
+    qo AS (
+      SELECT lang,
+             max(CASE WHEN rn = (n + 1) // 2 THEN v END) AS p50_old,
+             max(CASE WHEN rn = (9 * n + 9) // 10 THEN v END) AS p90_old
+      FROM ro GROUP BY lang
+    ),
+    qn AS (
+      SELECT lang,
+             max(CASE WHEN rn = (n + 1) // 2 THEN v END) AS p50_new,
+             max(CASE WHEN rn = (9 * n + 9) // 10 THEN v END) AS p90_new
+      FROM rn2 GROUP BY lang
+    )
+    SELECT lang, p50_old, p50_new, p50_new - p50_old AS d50,
+           p90_old, p90_new, p90_new - p90_old AS d90
+    FROM qo JOIN qn USING (lang)
+    ORDER BY lang
+    """,
+)
+def drift_quantile_shift(spark, sf_dir):
+    """DRIFT: rank-defined quantile shift — the drift family's
+    LOCATION member (KS/TV/PSI/EMD/chi² compare whole distributions;
+    this reports WHERE the distribution moved): per-lang exact lower
+    median and p90 (order statistics at ranks (n+1) div 2 and
+    ceil(9n/10) — a34's rank discipline, NO interpolation, zero
+    float) of the corpus halves, with a planted +40-char shift on
+    doc_id%5 rows of the new half so both zero and nonzero deltas
+    are externally checked. The value at a rank is deterministic
+    under ties regardless of row_number's tie order (the r-th order
+    statistic depends only on the multiset). Scale: one shuffle per
+    side on lang; the sketch path at 100 TB is a16's
+    approx_percentile — this is its exact validation tier applied
+    to drift."""
+    def side(df):
+        w = W.partitionBy("lang").orderBy("v")
+        return (
+            df.select(
+                "lang",
+                F.col("v"),
+                F.row_number().over(w).alias("rn"),
+                F.count(F.lit(1)).over(W.partitionBy("lang")).alias("n"),
+            )
+            .groupBy("lang")
+            .agg(
+                F.max(
+                    F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("v"))
+                ).alias("p50"),
+                F.max(
+                    F.when(
+                        F.col("rn") == F.expr("(9 * n + 9) div 10"), F.col("v")
+                    )
+                ).alias("p90"),
+            )
+        )
+
+    d = t(spark, sf_dir, "documents").where(
+        F.col("n_chars").isNotNull() & F.col("lang").isNotNull()
+    )
+    old = side(d.where(F.col("doc_id") % 2 == 0).select("lang", F.col("n_chars").alias("v")))
+    new = side(
+        d.where(F.col("doc_id") % 2 == 1).select(
+            "lang",
+            (
+                F.col("n_chars")
+                + F.when(F.col("doc_id") % 5 == 0, F.lit(40)).otherwise(F.lit(0))
+            ).alias("v"),
+        )
+    )
+    o = old.select("lang", F.col("p50").alias("p50_old"), F.col("p90").alias("p90_old"))
+    n2 = new.select("lang", F.col("p50").alias("p50_new"), F.col("p90").alias("p90_new"))
+    return (
+        o.join(n2, "lang")
+        .select(
+            "lang",
+            "p50_old",
+            "p50_new",
+            (F.col("p50_new") - F.col("p50_old")).alias("d50"),
+            "p90_old",
+            "p90_new",
+            (F.col("p90_new") - F.col("p90_old")).alias("d90"),
+        )
+        .orderBy("lang")
+    )
+
+
 # --- driver CORRECTNESS window ordering ---------------------------------------
 #
 # The external driver oracle-checks the FIRST 50 registered queries per
