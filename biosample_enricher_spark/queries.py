@@ -7880,6 +7880,158 @@ def drift_quantile_shift(spark, sf_dir):
     )
 
 
+@q(
+    "g2_triangle_count",
+    """
+    WITH raw AS (
+      SELECT l_orderkey % 1000 AS s, l_partkey % 1000 AS d FROM lineitem
+    ),
+    e AS (
+      SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+      FROM raw WHERE s != d
+    ),
+    nodes AS (SELECT DISTINCT v FROM (
+      SELECT a AS v FROM e UNION ALL SELECT b FROM e
+    ))
+    SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+           (SELECT count(*) FROM e)     AS n_edges,
+           (SELECT count(*)
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles
+    """,
+)
+def g2_triangle_count(spark, sf_dir):
+    """G2: exact triangle counting (operators/graph.py
+    triangle_count) by DEGREE ORIENTATION — orient each edge toward
+    its higher-(degree, id) endpoint, wedge only over out-edges
+    (Σ outdeg² with outdeg bounded ~O(√m) by the orientation), close
+    with one hash join. The ORACLE is the naive a<b<c three-way
+    self-join — a DIFFERENT algorithm computing the same invariant,
+    so the external row checks the orientation argument itself (each
+    triangle has exactly one node with two out-edges). At 10^12
+    edges the naive wedge join dies on hub nodes (a 10^7-degree hub
+    alone emits 10^14 wedges); the oriented join is the scalable
+    form. Graph: the deterministic order→part link graph shared with
+    g1_pagerank."""
+    from .operators.graph import triangle_count
+
+    edges = t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 1000).alias("src"),
+        (F.col("l_partkey") % 1000).alias("dst"),
+    )
+    return triangle_count(edges)
+
+
+@q(
+    "cdc1_changelog_apply",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100.0) AS BIGINT) AS cents
+      FROM orders
+    ),
+    log_ AS (
+      SELECT k, 1 AS seq, 'I' AS op, cents FROM base
+      UNION ALL
+      SELECT k, 2, 'U', cents + 100 FROM base WHERE k % 11 = 0
+      UNION ALL
+      SELECT k, 3, 'D', CAST(NULL AS BIGINT) FROM base WHERE k % 13 = 0
+    ),
+    last_ AS (
+      SELECT k, op, cents,
+             row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+      FROM log_
+    )
+    SELECT k, op AS last_op, cents
+    FROM last_ WHERE rn = 1 AND op != 'D'
+    ORDER BY k
+    """,
+)
+def cdc1_changelog_apply(spark, sf_dir):
+    """CDC1: ordered-changelog materialization — collapse an
+    insert/update/delete event LOG into final table state: per key
+    take the highest-sequence op, drop keys whose last op is a
+    delete (m1_merge_upsert applies one change SET; this applies an
+    ordered LOG with multiple ops per key — the Debezium/Delta CDF
+    consumption pattern). The log is manufactured deterministically
+    (every key inserted at seq 1, k%11 updated +100 cents at seq 2,
+    k%13 deleted at seq 3). One window (partition by key, order by
+    seq desc) + rn=1 filter: the shuffle carries the log once; state
+    per key is one row. Exact BIGINT cents, zero float."""
+    base = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100.0).cast("long").alias("cents"),
+    )
+    log = (
+        base.select("k", F.lit(1).alias("seq"), F.lit("I").alias("op"), "cents")
+        .unionByName(
+            base.where(F.col("k") % 11 == 0).select(
+                "k",
+                F.lit(2).alias("seq"),
+                F.lit("U").alias("op"),
+                (F.col("cents") + 100).alias("cents"),
+            )
+        )
+        .unionByName(
+            base.where(F.col("k") % 13 == 0).select(
+                "k",
+                F.lit(3).alias("seq"),
+                F.lit("D").alias("op"),
+                F.lit(None).cast("long").alias("cents"),
+            )
+        )
+    )
+    w = W.partitionBy("k").orderBy(F.desc("seq"))
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("k", F.col("op").alias("last_op"), "cents")
+        .orderBy("k")
+    )
+
+
+@q(
+    "v13_equidepth_histogram",
+    """
+    WITH v AS (
+      SELECT doc_id, n_chars AS val FROM documents WHERE n_chars IS NOT NULL
+    ),
+    b AS (
+      SELECT val, ntile(8) OVER (ORDER BY val, doc_id) AS bucket FROM v
+    )
+    SELECT bucket, count(*) AS n, min(val) AS lo, max(val) AS hi
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def v13_equidepth_histogram(spark, sf_dir):
+    """V13: EQUI-DEPTH histogram — the optimizer-statistics /
+    data-profiling primitive beside a12's equi-width histogram
+    (equal-count buckets adapt to skew; equal-width buckets drown in
+    it): 8 buckets of (near-)equal row count with per-bucket
+    min/max/count. ntile is order-dependent, so the ORDER BY carries
+    a full tie-break (val, doc_id) — deterministic in both engines
+    (the w8 discipline). The global sort is the exact validation
+    tier: at 100 TB the boundaries come from a16's mergeable
+    quantile sketch and bucketing becomes a scan-stage range
+    predicate; this exact tier is what that sketch is validated
+    against (the a28 pairing, applied to histogram construction)."""
+    v = t(spark, sf_dir, "documents").where(F.col("n_chars").isNotNull())
+    b = v.select(
+        F.col("n_chars").alias("val"),
+        F.ntile(8).over(W.orderBy("n_chars", "doc_id")).alias("bucket"),
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("val").alias("lo"),
+            F.max("val").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
 # --- driver CORRECTNESS window ordering ---------------------------------------
 #
 # The external driver oracle-checks the FIRST 50 registered queries per
