@@ -7245,8 +7245,12 @@ def j12_bucketed_join(spark, sf_dir):
     materialized bucketed (8 buckets, sorted) on the join key, so the
     SortMergeJoin reads matching bucket files directly and the
     physical plan has NO Exchange on either side (pinned in
-    tests/test_plans.py::test_bucketed_join_has_no_shuffle; at 100 TB
-    this removes the dominant repeated-join shuffle permanently).
+    tests/test_plans.py::test_bucketed_join_has_no_shuffle under a
+    no-broadcast config; at this driver SF, AQE instead broadcasts
+    the small side — both scans still read `Bucketed: true`, and
+    neither path shuffles the fact table. At 100 TB, where nothing
+    broadcasts, the bucketed SMJ removes the dominant repeated-join
+    shuffle permanently).
     The ORACLE is the plain join, so the external row checks that the
     bucketed layout preserves join semantics exactly. The write
     happens per run (idempotent overwrite) — in production the layout
@@ -7709,10 +7713,15 @@ def x15_clean_pipeline(spark, sf_dir):
     (doc_id%41 → whitespace-only text, %43 → all-punctuation junk
     scoring q≈0.004, %53 → a shared duplicate text collapsing to one
     keeper) — every rung of the funnel provably drops rows.
-    Scale shape: ONE scan computes every per-row stage flag (the
-    predicates nest), the dedup stage adds one fingerprint groupBy +
-    join-back, and a single conditional aggregate emits all five
-    funnel counts — never one count-job per stage."""
+    Scale shape: all stage flags are Column expressions evaluated in
+    the scan stage and a single conditional aggregate emits all five
+    funnel counts — never one count-job per stage. The dedup stage's
+    keep-set (min doc_id per fingerprint) is built from the same
+    flag frame and joined back, so the physical plan reads the
+    corpus twice (once per side of that join — verified against the
+    executed plan; the flag expressions fold into both scans); at
+    100 TB persist/localCheckpoint the flag frame once to make it a
+    single scan, the dedup_pipeline discipline."""
     from .operators import text as X2
 
     raw = t(spark, sf_dir, "documents").select(
