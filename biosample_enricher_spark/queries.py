@@ -8041,6 +8041,201 @@ def v13_equidepth_histogram(spark, sf_dir):
     )
 
 
+@q(
+    "w13_pareto_abc",
+    """
+    WITH rev AS (
+      SELECT l_partkey AS k,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev_c
+      FROM lineitem GROUP BY l_partkey
+    ),
+    c AS (
+      SELECT k, rev_c,
+             sum(rev_c) OVER (ORDER BY rev_c DESC, k) AS cum_c,
+             sum(rev_c) OVER () AS tot_c
+      FROM rev
+    )
+    SELECT k, rev_c, cum_c,
+           CASE WHEN cum_c * 100 <= tot_c * 80 THEN 'A'
+                WHEN cum_c * 100 <= tot_c * 95 THEN 'B'
+                ELSE 'C' END AS abc
+    FROM c ORDER BY k
+    """,
+)
+def w13_pareto_abc(spark, sf_dir):
+    """W13: Pareto / ABC classification — rank parts by revenue,
+    accumulate share, classify A (top ~80% of revenue), B (next
+    ~15%), C (tail): the inventory-analytics staple built on a
+    descending cumulative window. Verdicts are integer
+    cross-multiplications (cum·100 ≤ tot·80/95) over exact BIGINT
+    cents — zero float anywhere. The cumulative ORDER BY carries a
+    full tie-break (rev_c DESC, k), making peers unique so the
+    default RANGE frame equals ROWS and the cumsum is deterministic
+    in both engines (the w8/v13 discipline). Scale: one revenue
+    groupBy (map-side combined) then a single-partition cumulative
+    window over the AGGREGATED per-key frame — |keys| rows, not
+    |lineitem|; at billions of keys the two-level a26 block
+    prefix-sum replaces the global window."""
+    rev = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("k"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+                "rev_c"
+            )
+        )
+    )
+    cum = F.sum("rev_c").over(W.orderBy(F.desc("rev_c"), "k"))
+    tot = F.sum("rev_c").over(W.partitionBy())
+    c = rev.select("k", "rev_c", cum.alias("cum_c"), tot.alias("tot_c"))
+    return c.select(
+        "k",
+        "rev_c",
+        "cum_c",
+        F.when(F.col("cum_c") * 100 <= F.col("tot_c") * 80, "A")
+        .when(F.col("cum_c") * 100 <= F.col("tot_c") * 95, "B")
+        .otherwise("C")
+        .alias("abc"),
+    ).orderBy("k")
+
+
+@q(
+    "j13_asof_forward",
+    """
+    WITH tagged AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IN ('purchase', 'error')
+    ),
+    w AS (
+      SELECT event_id, user_id, event_type, ts_us,
+             last_value(CASE WHEN event_type = 'error'
+                             THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS next_error_id,
+             last_value(CASE WHEN event_type = 'error'
+                             THEN ts_us END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS next_error_us
+      FROM tagged
+    )
+    SELECT event_id, user_id, next_error_id,
+           next_error_us - ts_us AS gap_us
+    FROM w WHERE event_type = 'purchase'
+    ORDER BY event_id
+    """,
+)
+def j13_asof_forward(spark, sf_dir):
+    """J13: FORWARD as-of join — for each purchase, the EARLIEST
+    error at-or-after it per user (j7's as-of joins backward /
+    most-recent-prior; pandas merge_asof direction='forward' is this
+    op): the fn2 ignorenulls-carry machinery run over a DESCENDING
+    (ts, event_id) order, so "last seen so far" means "next in
+    time". Same-instant events resolve identically in both engines
+    via the full tie-break; gap is exact integer microseconds, NULL
+    when no later error exists. Scale: one hash shuffle on user_id +
+    per-user sort — the union-window form costs the same as backward
+    as-of, never a range self-join."""
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.desc("ts_us"), F.desc("event_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    e = (
+        t(spark, sf_dir, "events")
+        .where(
+            F.col("user_id").isNotNull()
+            & F.col("event_type").isin("purchase", "error")
+        )
+        .select("event_id", "user_id", "event_type", ts_us.alias("ts_us"))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "ts_us",
+            F.last(
+                F.when(F.col("event_type") == "error", F.col("event_id")),
+                ignorenulls=True,
+            )
+            .over(w)
+            .alias("next_error_id"),
+            F.last(
+                F.when(F.col("event_type") == "error", F.col("ts_us")),
+                ignorenulls=True,
+            )
+            .over(w)
+            .alias("next_error_us"),
+        )
+    )
+    return (
+        e.where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "next_error_id",
+            (F.col("next_error_us") - F.col("ts_us")).alias("gap_us"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@q(
+    "x16_split_assign",
+    """
+    WITH a AS (
+      SELECT lang,
+             CASE WHEN f < 0.9 THEN 'train'
+                  WHEN f < 0.95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT lang,
+               CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                    AS UBIGINT) / 4294967296.0 AS f
+        FROM documents WHERE lang IS NOT NULL
+      )
+    )
+    SELECT lang, split, count(*) AS n_docs
+    FROM a GROUP BY lang, split
+    ORDER BY lang, split
+    """,
+)
+def x16_split_assign(spark, sf_dir):
+    """X16: deterministic train/val/test split assignment — every doc
+    lands in exactly one split by its md5-hex fraction (90/5/5), the
+    membership function a training pipeline must keep REPRODUCIBLE
+    across reruns, engines, and parallelism (p11 samples a stratum,
+    mix_corpus downsamples pools; this PARTITIONS the corpus —
+    jointly exhaustive, mutually exclusive). A doc's split never
+    depends on other rows, so late-arriving data cannot reshuffle
+    old assignments (the property rand()-based splits lose). Emits
+    the lang × split contingency counts; the x6 decontamination
+    check runs across exactly this boundary. Pure scan-stage
+    predicate + one map-side-combined groupBy."""
+    frac = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    return (
+        t(spark, sf_dir, "documents")
+        .where(F.col("lang").isNotNull())
+        .select(
+            "lang",
+            F.when(frac < 0.9, "train")
+            .when(frac < 0.95, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "split")
+    )
+
+
 # --- driver CORRECTNESS window ordering ---------------------------------------
 #
 # The external driver oracle-checks the FIRST 50 registered queries per

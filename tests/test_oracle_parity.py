@@ -132,8 +132,8 @@ def test_registry_counts_match_docs():
     so they cannot silently drift from the registry (r3 verdict item
     #7). Whoever registers a query updates the asserts AND the three
     doc sites in the same commit."""
-    assert len(QUERIES) == 174
-    assert len(ORACLES) == 157
+    assert len(QUERIES) == 177
+    assert len(ORACLES) == 160
 
 
 def test_manual_sessionize_matches_builtin_session_window(spark):
