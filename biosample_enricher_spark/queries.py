@@ -8236,6 +8236,118 @@ def x16_split_assign(spark, sf_dir):
     )
 
 
+@q("a38_sliding_distinct_hll")  # rows-only: HLL binaries are engine-specific
+def a38_sliding_distinct_hll(spark, sf_dir):
+    """A38: trailing-7-day distinct users via MERGED DAILY HLL
+    sketches — the 100-TB tier a21's docstring promises, implemented:
+    the corpus-sized shuffle happens ONCE (events → |days| daily
+    sketches via hll_sketch_agg, map-side partial merge); the sliding
+    window then unions 7 SKETCH ROWS per output day
+    (hll_union_agg over the broadcast day-spine range join) instead
+    of re-touching events per window — the sketch-merge-over-window
+    composition (Apache DataSketches HLL, mergeable by design).
+    Quantified rows-only (sketch binaries are engine-specific): each
+    row carries the exact a21-tier count and rel_err; the ≤2% floor
+    is pinned in tests/test_r5n_ops.py (at driver cardinalities the
+    lg_k=12 sketch is still in sparse mode and exact)."""
+    e = (
+        t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select("user_id", F.to_date("ts").alias("day"))
+    )
+    daily = e.groupBy("day").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+    )
+    spine = e.select(F.col("day").alias("sday")).distinct()
+    in_window = (F.col("day") >= F.date_sub("sday", 6)) & (
+        F.col("day") <= F.col("sday")
+    )
+    est = (
+        daily.join(F.broadcast(spine), in_window)
+        .groupBy("sday")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_7d")
+        )
+    )
+    exact = (
+        e.join(F.broadcast(spine), in_window)
+        .groupBy("sday")
+        .agg(F.count_distinct("user_id").alias("exact_7d"))
+    )
+    return (
+        est.join(exact, "sday")
+        .select(
+            F.col("sday").alias("day"),
+            "exact_7d",
+            "est_7d",
+            F.round(
+                F.abs(F.col("est_7d") - F.col("exact_7d"))
+                / F.col("exact_7d"),
+                9,
+            ).alias("rel_err"),
+        )
+        .orderBy("day")
+    )
+
+
+@q(
+    "streaming_foreachbatch_sink",
+    """
+    SELECT event_type, count(*) AS n_events,
+           sum(CAST(round(value * 100) AS BIGINT)) AS value_c
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def streaming_foreachbatch_sink(spark, sf_dir):
+    """§2.11 foreachBatch SINK — the EIGHTH streaming surface and the
+    production write pattern the other seven lack: each microbatch is
+    written to parquet by a foreachBatch callback stamped with its
+    epoch id (the exactly-once idiom: batch-id-scoped writes make
+    replays idempotent), then the SINK OUTPUT is read back and
+    aggregated — so the oracle checks the full write-then-read round
+    trip, not just the in-memory stream result. Fresh checkpoint +
+    truncated sink dir per run keep the query re-runnable (a
+    PRODUCTION checkpoint would instead persist so restarts resume;
+    that behavior is covered by checkpoint.py's batch S11 tier)."""
+    import shutil
+    import tempfile
+
+    schema = t(spark, sf_dir, "events").schema
+    out_dir = f"/tmp/fb_sink_{_sf_tag(sf_dir).replace('.', '_')}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cp = tempfile.mkdtemp(prefix="fb_cp_")
+    stream = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.*")
+
+    def write_batch(df, epoch_id):
+        (
+            df.where(F.col("user_id").isNotNull())
+            .select("event_id", "event_type", "value")
+            .withColumn("_epoch", F.lit(epoch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    q_stream = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_stream.awaitTermination()
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "value_c"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
 # --- driver CORRECTNESS window ordering ---------------------------------------
 #
 # The external driver oracle-checks the FIRST 50 registered queries per

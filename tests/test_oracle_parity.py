@@ -128,12 +128,18 @@ def test_driver_window_ordering():
 
 def test_registry_counts_match_docs():
     """The registry counts stated in the docs (ROUND5_NOTES.md,
-    SURVEY.md §2.14, .claude/skills/verify/SKILL.md) are pinned here
-    so they cannot silently drift from the registry (r3 verdict item
-    #7). Whoever registers a query updates the asserts AND the three
-    doc sites in the same commit."""
-    assert len(QUERIES) == 177
-    assert len(ORACLES) == 160
+    SURVEY.md §2.14, .claude/skills/verify/SKILL.md, README.md) are
+    pinned here so they cannot silently drift from the registry (r3
+    verdict item #7). Whoever registers a query updates the asserts
+    AND the doc sites in the same commit; README's statement that its
+    numbers are test-pinned is enforced by the grep below."""
+    assert len(QUERIES) == 179
+    assert len(ORACLES) == 161
+    from pathlib import Path
+
+    readme = (Path(__file__).parent.parent / "README.md").read_text()
+    assert f"{len(QUERIES)} operator queries" in readme
+    assert f"{len(ORACLES)} with column-aligned DuckDB oracle SQL" in readme
 
 
 def test_manual_sessionize_matches_builtin_session_window(spark):
