@@ -141,3 +141,23 @@ def test_last_touch_attribution_planted_edges(spark, tmp_path):
         (6, 5, 0),
         (8, 5, 20_000_000),
     }
+
+
+def test_pagerank_chain_scale_smoke(spark):
+    """10^4-node chain (worst sparsity for per-round joins): 12
+    rounds complete, the head (pure source) holds exactly the
+    teleport mass, ranks increase monotonically down the first few
+    hops, and the run is bit-deterministic."""
+    n = 10_000
+    e = spark.range(n - 1).selectExpr("id AS src", "id + 1 AS dst")
+    got = {r.node: r.rank_fp for r in pagerank(e, iterations=12).collect()}
+    assert len(got) == n
+    teleport = ((100 - 85) * _FP // 100) // n
+    # head receives teleport + its share of the tail sink's dangling
+    # mass, nothing else — so it is the strict minimum, and every
+    # node holds at least the teleport floor
+    assert got[0] == min(got.values())
+    assert got[0] >= teleport
+    assert got[0] < got[1] < got[2]    # mass accumulates down-chain
+    again = {r.node: r.rank_fp for r in pagerank(e, iterations=12).collect()}
+    assert got == again

@@ -85,3 +85,18 @@ def test_equidepth_histogram_balanced_and_ordered(spark):
     assert sum(counts) == 500
     for i in range(len(got) - 1):
         assert got[i].lo <= got[i].hi <= got[i + 1].lo  # monotone bounds
+
+
+def test_triangle_count_hub_star_is_orientation_safe(spark):
+    """50k-spoke hub + one planted triangle: the naive wedge join
+    would enumerate C(50k,2) ≈ 1.2e9 hub wedges; orientation points
+    every spoke edge INTO the hub (it has the max degree), so the
+    hub's out-degree is 0 and the wedge join stays ~|spokes|. The
+    test completing in seconds with the exact count IS the
+    scale-evidence for the orientation claim."""
+    hub = 10**9
+    spokes = [(hub, i) for i in range(50_000)]
+    tri = [(1, 2)]  # 1-2 closes the (hub,1),(hub,2) wedge
+    df = spark.createDataFrame(spokes + tri, "src long, dst long")
+    r = triangle_count(df).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (50_001, 50_001, 1)
