@@ -192,9 +192,16 @@ def countmin_estimates(
     stream never saw whose cells are all collision-free estimates 0,
     exactly as the counter-array formulation does — an inner join
     would silently DROP the empty cell from the min and overestimate
-    absent keys (pinned in tests/test_r5h_ops.py)."""
+    absent keys (pinned in tests/test_r5h_ops.py).
+
+    NULL keys are EXCLUDED from the output (as they are from the
+    sketch): ``concat_ws`` silently drops a null operand, so a NULL
+    key would otherwise hash as the bare row-index string and return
+    a spurious collision-mass estimate while the documented
+    ``CAST(j)||':'||CAST(key)`` oracle idiom yields NULL — a silent
+    cross-engine hash divergence (pinned in tests/test_r5h_ops.py)."""
     sketch = countmin_sketch(items, key_col, depth, width)
-    kj = keys.select(
+    kj = keys.where(F.col(key_col).isNotNull()).select(
         F.col(key_col).alias("k"),
         F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("j"),
     ).select("k", "j", _cms_bucket(F.col("j"), F.col("k"), width).alias("bucket"))

@@ -39,7 +39,7 @@ def pagerank(
     edges: DataFrame,
     iterations: int = 12,
     damping_pct: int = 85,
-    checkpoint_every: int = 4,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """PageRank over a ``(src, dst)`` directed edge frame, returning
     ``(node, rank_fp)`` with ``rank_fp`` the BIGINT fixed-point rank
@@ -59,13 +59,22 @@ def pagerank(
     the edge side after the first iteration (AQE reuses the
     partitioning). The dangling sum is a 1-row aggregate collected to
     the driver (scalar, legitimate). ``localCheckpoint`` every
-    ``checkpoint_every`` rounds truncates the growing lineage — the
-    connected_components (dedup.py:646) discipline.
+    ``checkpoint_every`` rounds (default EVERY round) truncates the
+    iterative lineage — the connected_components (dedup.py:646)
+    discipline; each round issues two jobs (the dangling collect and
+    the rank update), and checkpointing per round means both read
+    the previous round's MATERIALIZED blocks instead of replaying
+    the segment's joins. The edge frame is localCheckpointed once up
+    front so its source (scan + distinct in g1) is never recomputed
+    across the 2·iterations jobs. The RETURNED frame holds the final
+    checkpoint's |V|-row block set — callers that run many pageranks
+    in one session should ``free_local_checkpoint`` it once
+    consumed, the connected_components lifecycle contract.
     """
     e = edges.select(
         F.col("src").cast("long").alias("src"),
         F.col("dst").cast("long").alias("dst"),
-    )
+    ).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -79,6 +88,10 @@ def pagerank(
         .persist()
     )
     n = base.count()  # materializes the persist; N is a true scalar
+    if n == 0:
+        base.unpersist()
+        free_local_checkpoint(e)
+        raise ValueError("pagerank: edge frame has no non-null edges")
     d = int(damping_pct)
     ranks = base.select(
         "node", "outdeg", F.lit(_FP // n).cast("long").alias("rank_fp")
@@ -124,6 +137,7 @@ def pagerank(
         ranks = new_ranks
     out = ranks.select("node", "rank_fp")
     base.unpersist()
+    free_local_checkpoint(e)
     return out
 
 

@@ -41,6 +41,23 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def md5_frac(key: F.Column) -> F.Column:
+    """The engine-portable deterministic-sampling fraction: first 8
+    md5 hex chars of the key's string form parsed as a uniform 32-bit
+    fraction in [0, 1). Exact cross-engine (DuckDB twin:
+    ``CAST('0x' || substring(md5(CAST(k AS VARCHAR)), 1, 8) AS
+    UBIGINT) / 4294967296.0`` — integer/2^32 is the same IEEE double
+    in both engines). One definition shared by every sampling /
+    split / mixing surface (mix_corpus, x15 stage 5, x16) so the
+    idiom cannot silently diverge between them."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast(
+            "double"
+        )
+        / F.lit(4294967296.0)
+    )
+
+
 def _drain_to_memory(df: DataFrame, prefix: str, tag: str, mode: str) -> DataFrame:
     """Drain a streaming frame to completion (availableNow trigger →
     memory sink) and return the sink table — the shared tail of every
@@ -3146,12 +3163,7 @@ def mix_corpus_weighted(spark, sf_dir):
     rates = pc.crossJoin(
         F.broadcast(pc.agg(F.min("n").alias("n_min")))
     ).select("pool", (F.col("n_min") / F.col("n")).alias("keep_rate"))
-    frac = (
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-        ).cast("double")
-        / F.lit(4294967296.0)
-    )
+    frac = md5_frac(F.col("doc_id"))
     return (
         d.join(F.broadcast(rates), "pool")
         .where(frac < F.col("keep_rate"))
@@ -7636,11 +7648,19 @@ def er2_entity_groups(spark, sf_dir):
         .select("name", "group_name")
     )
     sz = labeled.groupBy("group_name").agg(F.count(F.lit(1)).alias("group_size"))
-    return (
+    out = (
         labeled.join(sz, "group_name")
         .select("name", "group_name", "group_size")
         .orderBy("group_name", "name")
+        # materialize, then release CC's label checkpoint — the
+        # operator's documented caller-owned lifecycle (dedup.py:687);
+        # without this every er2 run leaks one |nodes|-row block set
+        .localCheckpoint(eager=True)
     )
+    from .operators.dedup import free_local_checkpoint
+
+    free_local_checkpoint(cc)
+    return out
 
 
 @q(
@@ -7748,12 +7768,7 @@ def x15_clean_pipeline(spark, sf_dir):
         .groupBy("f")
         .agg(F.min("doc_id").alias("min_id"))
     )
-    frac = (
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-        ).cast("double")
-        / F.lit(4294967296.0)
-    )
+    frac = md5_frac(F.col("doc_id"))
     j = flagged.join(keep, "f", "left").select(
         "p_ok",
         "q_ok",
@@ -8214,12 +8229,7 @@ def x16_split_assign(spark, sf_dir):
     the lang × split contingency counts; the x6 decontamination
     check runs across exactly this boundary. Pure scan-stage
     predicate + one map-side-combined groupBy."""
-    frac = (
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-        ).cast("double")
-        / F.lit(4294967296.0)
-    )
+    frac = md5_frac(F.col("doc_id"))
     return (
         t(spark, sf_dir, "documents")
         .where(F.col("lang").isNotNull())
@@ -8249,11 +8259,13 @@ def a38_sliding_distinct_hll(spark, sf_dir):
     Quantified rows-only (sketch binaries are engine-specific): each
     row carries the exact a21-tier count and rel_err; the ≤2% floor
     is pinned in tests/test_r5n_ops.py (at driver cardinalities the
-    lg_k=12 sketch is still in sparse mode and exact)."""
-    e = (
-        t(spark, sf_dir, "events")
-        .where(F.col("user_id").isNotNull())
-        .select("user_id", F.to_date("ts").alias("day"))
+    lg_k=12 sketch is still in sparse mode and exact). The day
+    spine and exact tier deliberately mirror a21 VERBATIM (no
+    null-user pre-filter — a day whose events all carry NULL
+    user_id must still appear on both tiers, with count 0 and a
+    NULL sketch coalesced to estimate 0)."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
     )
     daily = e.groupBy("day").agg(
         F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
@@ -8266,7 +8278,11 @@ def a38_sliding_distinct_hll(spark, sf_dir):
         daily.join(F.broadcast(spine), in_window)
         .groupBy("sday")
         .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_7d")
+            # hll_sketch_agg skips nulls; an all-null window has a
+            # NULL union -> estimate 0, matching count_distinct's 0
+            F.coalesce(
+                F.hll_sketch_estimate(F.hll_union_agg("sk")), F.lit(0)
+            ).alias("est_7d")
         )
     )
     exact = (
@@ -8280,11 +8296,16 @@ def a38_sliding_distinct_hll(spark, sf_dir):
             F.col("sday").alias("day"),
             "exact_7d",
             "est_7d",
-            F.round(
-                F.abs(F.col("est_7d") - F.col("exact_7d"))
-                / F.col("exact_7d"),
-                9,
-            ).alias("rel_err"),
+            F.when(
+                F.col("exact_7d") > 0,
+                F.round(
+                    F.abs(F.col("est_7d") - F.col("exact_7d"))
+                    / F.col("exact_7d"),
+                    9,
+                ),
+            )
+            .otherwise(F.when(F.col("est_7d") == 0, F.lit(0.0)))
+            .alias("rel_err"),
         )
         .orderBy("day")
     )
@@ -8335,6 +8356,11 @@ def streaming_foreachbatch_sink(spark, sf_dir):
         .start()
     )
     q_stream.awaitTermination()
+    # the per-run checkpoint is only needed while draining — remove
+    # it so repeated invocations don't accumulate /tmp directories
+    # (the sink dir must outlive the return: the result reads it
+    # lazily; it is truncated by the NEXT run instead)
+    shutil.rmtree(cp, ignore_errors=True)
     return (
         spark.read.parquet(out_dir)
         .groupBy("event_type")

@@ -198,3 +198,16 @@ def test_countmin_absent_key_estimates_zero_via_empty_cell(spark):
     assert len(est) == 30
     assert min(est.values()) == 0
     assert max(est.values()) <= 8
+
+
+def test_countmin_null_keys_are_excluded_not_mishashed(spark):
+    """concat_ws drops a null operand, so without the explicit
+    filter a NULL key would hash as the bare row-index string and
+    return a spurious collision-mass estimate (and diverge from the
+    SQL oracle idiom, which yields NULL). NULL keys must simply be
+    absent from the output."""
+    items = spark.createDataFrame([("a",)] * 4 + [("b",)] * 2, "k string")
+    keys = spark.createDataFrame([("a",), (None,), ("b",)], "k string")
+    est = {r.k: r.est_n for r in countmin_estimates(items, keys, "k", 3, 64).collect()}
+    assert set(est) == {"a", "b"}
+    assert est["a"] >= 4 and est["b"] >= 2

@@ -81,4 +81,5 @@ def test_token_budget_floors_per_span_and_handles_null_text(spark):
 
 def test_v12_reports_only_planted_categories_at_sf001(spark):
     rows = QUERIES["v12_new_categories"](spark, "/root/testdata/sf0.001").collect()
+    assert rows  # a broken plant/anti-join must not pass vacuously
     assert all(r.col_name == "lang" and r.category.endswith("-v2") for r in rows)
