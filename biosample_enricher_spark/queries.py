@@ -8374,6 +8374,98 @@ def streaming_foreachbatch_sink(spark, sf_dir):
     )
 
 
+@q(
+    "s13_csv_roundtrip",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           sum(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS cents
+    FROM orders
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def s13_csv_roundtrip(spark, sf_dir):
+    """S13: CSV source/sink ROUND TRIP externally checked — the S9
+    CSV sink (sinks.py, pytest-pinned) gains its read-path
+    complement: write the driver table as headered CSV, read it back
+    through the CSV source with an explicit schema (never
+    inferSchema — a second pass over the data and a type guess at
+    100 TB), aggregate, and let the parquet-side ORACLE check the
+    full serialize→parse cycle. Columns are restricted to
+    BIGINT/string on purpose: integer and string round-trip
+    bit-exactly through CSV while floats are a formatting minefield
+    (the cents discipline extended to interchange formats). The
+    j12/zo1 write-then-read query pattern."""
+    import shutil
+
+    path = f"/tmp/csv_rt_{_sf_tag(sf_dir).replace('.', '_')}"
+    shutil.rmtree(path, ignore_errors=True)
+    d = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100.0).cast("long").alias("cents"),
+    )
+    d.write.mode("overwrite").option("header", True).csv(path)
+    back = spark.read.option("header", True).schema(
+        "o_orderkey long, o_orderpriority string, cents long"
+    ).csv(path)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@q(
+    "j14_nullsafe_join",
+    """
+    WITH a AS (
+      SELECT c_custkey AS k,
+             CASE WHEN c_custkey % 19 = 0 THEN NULL
+                  ELSE c_nationkey END AS nk
+      FROM customer
+    ),
+    g AS (SELECT nk, count(*) AS n_group FROM a GROUP BY nk)
+    SELECT a.k, a.nk, g.n_group
+    FROM a JOIN g ON a.nk IS NOT DISTINCT FROM g.nk
+    ORDER BY a.k
+    """,
+)
+def j14_nullsafe_join(spark, sf_dir):
+    """J14: NULL-SAFE equi-join (<=> / IS NOT DISTINCT FROM) — the
+    join semantics plain equality silently breaks: a standard
+    equi-join DROPS every null-keyed row (null = null is UNKNOWN),
+    while the null-safe form matches nulls to each other, making
+    "unknown" a first-class group. Planted: c_custkey%19 rows get a
+    NULL nation key; each row joins to its nk-group's size, so the
+    external row proves the null group matched (a plain join would
+    lose those rows — exactly the bug class v12's docstring warns
+    about in NOT IN). Spark's <=> is a hash-joinable equality (no
+    nested loop; null keys hash like any value), so the scale shape
+    is an ordinary shuffled hash join."""
+    a = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.when(F.col("c_custkey") % 19 == 0, F.lit(None).cast("int"))
+        .otherwise(F.col("c_nationkey"))
+        .alias("nk"),
+    )
+    # rename the grouped key: g derives from a, so a["nk"]/g["nk"]
+    # would resolve to the SAME attribute (trivially-true predicate)
+    g = (
+        a.groupBy("nk")
+        .agg(F.count(F.lit(1)).alias("n_group"))
+        .select(F.col("nk").alias("gnk"), "n_group")
+    )
+    return (
+        a.join(g, F.col("nk").eqNullSafe(F.col("gnk")))
+        .select("k", "nk", "n_group")
+        .orderBy("k")
+    )
+
+
 # --- driver CORRECTNESS window ordering ---------------------------------------
 #
 # The external driver oracle-checks the FIRST 50 registered queries per
