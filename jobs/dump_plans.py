@@ -143,8 +143,82 @@ SECTIONS = [
         "floor-of-double. The textbook per-source running sum would "
         "serialize each source into one partition.",
     ),
+    (
+        "j11_spatial_grid_join — grid cells make the spatial join an equi-join",
+        "Side A explodes into its 3×3 cell neighborhood (one Generate "
+        "of a constant 9-element offset array); the join is a HASH "
+        "join on the (cx, cy) cell key with the exact integer d²≤r² "
+        "verify folded into the condition — no CartesianProduct / "
+        "BroadcastNestedLoopJoin anywhere (also pinned in "
+        "tests/test_r5h_ops.py). Cell ids use exact integer floor "
+        "division ((c − pmod(c, r)) div r): float cell math could "
+        "1-ulp-flip a boundary point into the wrong cell and push a "
+        "qualifying pair outside the 3×3 neighborhood. At 100 TB both "
+        "sides hash-partition on the cell key — shuffle is 9·|A| + "
+        "|B| rows; a skewed (urban) cell composes with the j10 "
+        "salting pattern unchanged.",
+    ),
+    (
+        "j12_bucketed_join — co-located layout, no fact-side shuffle",
+        "Both scans read `Bucketed: true`. Under the no-broadcast pin "
+        "(tests/test_plans.py::test_bucketed_join_has_no_shuffle) the "
+        "SortMergeJoin has NO Exchange on either side — bucket i "
+        "joins bucket i straight off disk; at this SF, AQE broadcasts "
+        "the small side instead. Either path never shuffles the fact "
+        "table; at 100 TB (nothing broadcasts) the bucketed layout "
+        "removes the repeated-join shuffle permanently — the batch "
+        "analog of Iceberg's bucket() partition transform.",
+    ),
+    (
+        "a36_countmin_freq — constant-size sketch state",
+        "The Count-Min sketch is built directly from the event "
+        "stream: explode ×depth, hash to (j, bucket), one "
+        "HashAggregate pair whose map-side partial collapses every "
+        "partition to ≤ depth·width (192) rows before the exchange — "
+        "shuffle AND reducer state constant at any key cardinality. "
+        "Estimation broadcasts the 192-cell frame; the LEFT-outer "
+        "probe with min(coalesce(bucket_n, 0)) is load-bearing (an "
+        "inner join drops empty cells from the min and overestimates "
+        "absent keys — pinned in tests/test_r5h_ops.py).",
+    ),
+    (
+        "x15_clean_pipeline — funnel counts without count-jobs",
+        "All stage predicates are Column expressions folded into the "
+        "scans; ONE conditional aggregate emits all five funnel "
+        "counts (stack unpivots the single row). The dedup keep-set "
+        "join reads the corpus twice (once per join side); at 100 TB "
+        "persist the flag frame once to make it a single scan. Never "
+        "one count-job per stage.",
+    ),
 ]
 
+
+NARRATIVE_GRAPH = """## g1_pagerank / g2_triangle_count — iterative + oriented graph shapes (r5)
+
+PageRank: per round one hash join (state × edges on src) + one
+map-side-combined sum on dst; all arithmetic in BIGINT fixed point so
+the result is bit-deterministic under any partitioning (float message
+sums are order-dependent). The edge frame is localCheckpointed once
+up front; ranks are checkpointed EVERY round (both per-round jobs —
+the dangling collect and the rank update — read the previous round's
+materialized blocks instead of replaying joins) and the previous
+checkpoint's blocks are freed immediately — constant storage, the
+connected_components discipline. Callers free the returned frame's
+final checkpoint when done (free_local_checkpoint), the documented CC
+lifecycle.
+
+Triangle count: edges oriented toward the higher-(degree, id)
+endpoint before the wedge self-join, so the join fans out as
+Σ outdeg² with outdeg bounded ~O(√m) — a 10⁷-degree hub that would
+emit 10¹⁴ wedges in the naive Σ deg² join contributes almost nothing
+once oriented (its edges all point INTO it; pinned by the 50k-spoke
+hub test completing in seconds). The closing step is one hash
+equi-join on the (lo, hi) edge key. The SQL oracle runs the naive
+a<b<c three-way join — a different algorithm for the same invariant —
+so the external CORRECTNESS row checks the orientation argument
+itself.
+
+"""
 
 NARRATIVE = """## dedup_pipeline — O(n²) guards (r5)
 
@@ -216,6 +290,7 @@ def main() -> None:
         out.append(formatted_plan(df))
         out.append("```")
         out.append("")
+    out.append(NARRATIVE_GRAPH)
     out.append(NARRATIVE)
     path = os.path.join(REPO, "PLANS.md")
     with open(path, "w") as f:
