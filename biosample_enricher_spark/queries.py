@@ -8466,6 +8466,173 @@ def j14_nullsafe_join(spark, sf_dir):
     )
 
 
+@q(
+    "w14_rolling_median",
+    """
+    WITH v AS (
+      SELECT user_id, event_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS v_c
+      FROM events WHERE user_id IS NOT NULL
+    )
+    SELECT user_id, event_id,
+           list_sort(list(v_c) OVER w)[3] AS med_c
+    FROM v
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    QUALIFY count(*) OVER w = 5
+    ORDER BY user_id, event_id
+    """,
+)
+def w14_rolling_median(spark, sf_dir):
+    """W14: ROLLING exact median — the robust-statistics member of
+    the window family (w10's rolling z-score breaks on a single
+    planted spike in its own baseline; the trailing median does
+    not): median of the last 5 events per user as the 3rd element of
+    the sorted frame (odd fixed-width frame → a pure order
+    statistic, no interpolation, exact BIGINT cents — zero float).
+    Spark has no median window aggregate, so the frame is
+    materialized per row (collect_list over ROWS -4..0 → sort_array
+    → element_at 3) — bounded at 5 elements of state per row, one
+    hash shuffle on user_id; the oracle does the identical
+    list-window walk. Warm-up rows (frame < 5) are excluded so every
+    output saw a full window (the w10 discipline)."""
+    v_c = F.round(F.col("value") * 100).cast("bigint")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    e = (
+        t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.element_at(F.sort_array(F.collect_list(v_c).over(w)), 3).alias(
+                "med_c"
+            ),
+            F.count(F.lit(1)).over(w).alias("n_w"),
+        )
+    )
+    return (
+        e.where(F.col("n_w") == 5)
+        .select("user_id", "event_id", "med_c")
+        .orderBy("user_id", "event_id")
+    )
+
+
+@q(
+    "x17_split_decontamination",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS tk
+      FROM documents WHERE text IS NOT NULL
+    ), g4 AS (
+      SELECT doc_id, list_distinct(list_transform(
+        list_zip(tk[1:len(tk)-3], tk[2:len(tk)-2],
+                 tk[3:len(tk)-1], tk[4:len(tk)]),
+        s -> s[1] || ' ' || s[2] || ' ' || s[3] || ' ' || s[4]
+      )) AS grams
+      FROM toks WHERE len(tk) >= 4
+    ), splits AS (
+      SELECT doc_id, grams,
+             CASE WHEN f < 0.9 THEN 'train'
+                  WHEN f < 0.95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id, grams,
+               CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                    AS UBIGINT) / 4294967296.0 AS f
+        FROM g4
+      )
+    ), train_grams AS (
+      SELECT DISTINCT unnest(grams) AS gram FROM splits
+      WHERE split = 'train'
+    ), ev AS (
+      SELECT doc_id, split, unnest(grams) AS gram FROM splits
+      WHERE split != 'train'
+    ), flagged AS (
+      SELECT DISTINCT e.doc_id, e.split
+      FROM ev e JOIN train_grams t ON e.gram = t.gram
+    )
+    SELECT s.split,
+           count(*) AS n_docs,
+           CAST(count(f.doc_id) AS BIGINT) AS n_contaminated
+    FROM (SELECT doc_id, split FROM splits WHERE split != 'train') s
+    LEFT JOIN flagged f ON s.doc_id = f.doc_id
+    GROUP BY s.split ORDER BY s.split
+    """,
+)
+def x17_split_decontamination(spark, sf_dir):
+    """X17: decontamination ACROSS the x16 split boundary — the
+    composition the two pieces exist for: x16 assigns every doc a
+    deterministic train/val/test split, x6's word-4-gram machinery
+    then asks which VAL/TEST docs share a gram with the TRAIN split
+    (an eval doc whose n-grams appear in training data is a leaked
+    benchmark row). Scale shape is the reverse of x6's: train grams
+    are the CORPUS-sized side, so the small eval gram set
+    deduplicates and broadcasts, the train gram stream semi-joins
+    against it (only grams that could matter survive — a tiny set),
+    and that survivor set broadcasts back to flag eval docs — the
+    corpus side never shuffles. Output: per-split doc and
+    contaminated counts."""
+    from .operators.text import ascii_word_tokens
+
+    d = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    g4 = d.select(
+        "doc_id",
+        D.distinct_ngrams(ascii_word_tokens(F.col("text")), 4).alias("grams"),
+    ).where(F.size("grams") >= 1)
+    frac = md5_frac(F.col("doc_id"))
+    sp = g4.select(
+        "doc_id",
+        "grams",
+        F.when(frac < 0.9, "train")
+        .when(frac < 0.95, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    ev_grams = (
+        sp.where(F.col("split") != "train")
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    # train grams that occur in ANY eval doc — bounded by |ev_grams|
+    hot = (
+        sp.where(F.col("split") == "train")
+        .select(F.explode("grams").alias("gram"))
+        .join(F.broadcast(ev_grams), "gram", "left_semi")
+        .distinct()
+    )
+    ev = sp.where(F.col("split") != "train").select(
+        "doc_id", "split", F.explode("grams").alias("gram")
+    )
+    flagged = (
+        ev.join(F.broadcast(hot), "gram", "left_semi")
+        .select("doc_id", "split")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        sp.where(F.col("split") != "train")
+        .select("doc_id", "split")
+        .join(flagged.select("doc_id", "hit"), "doc_id", "left")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias(
+                "n_contaminated"
+            ),
+        )
+        .select(
+            "split",
+            "n_docs",
+            F.col("n_contaminated").cast("long").alias("n_contaminated"),
+        )
+        .orderBy("split")
+    )
+
+
 # --- driver CORRECTNESS window ordering ---------------------------------------
 #
 # The external driver oracle-checks the FIRST 50 registered queries per

@@ -133,8 +133,8 @@ def test_registry_counts_match_docs():
     verdict item #7). Whoever registers a query updates the asserts
     AND the doc sites in the same commit; README's statement that its
     numbers are test-pinned is enforced by the grep below."""
-    assert len(QUERIES) == 181
-    assert len(ORACLES) == 163
+    assert len(QUERIES) == 183
+    assert len(ORACLES) == 165
     from pathlib import Path
 
     readme = (Path(__file__).parent.parent / "README.md").read_text()

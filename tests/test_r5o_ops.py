@@ -39,3 +39,35 @@ def test_nullsafe_join_keeps_null_group_plain_join_drops_it(spark):
     )
     plain = a.join(g, F.col("nk") == F.col("gnk")).count()
     assert plain == 1500 - len(nulls)
+
+
+def test_rolling_median_matches_python_on_planted_ties(spark, tmp_path):
+    import datetime as dt
+
+    t0 = dt.datetime(2023, 1, 1)
+    vals = [10, 10, 30, 30, 20, 50, 40, 40, 40, 10]
+    rows = [
+        (i, t0 + dt.timedelta(seconds=i), 1, "view", v / 100.0)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    out = str(tmp_path / "rm")
+    df.write.mode("overwrite").parquet(f"{out}/events.parquet")
+    got = {
+        r.event_id: r.med_c
+        for r in QUERIES["w14_rolling_median"](spark, out).collect()
+    }
+    exp = {
+        i: sorted(vals[i - 4 : i + 1])[2] for i in range(4, len(vals))
+    }
+    assert got == exp
+
+
+def test_split_decontamination_counts_are_consistent(spark):
+    rows = QUERIES["x17_split_decontamination"](spark, SF01).collect()
+    assert {r.split for r in rows} == {"val", "test"}
+    for r in rows:
+        assert 0 < r.n_contaminated <= r.n_docs
