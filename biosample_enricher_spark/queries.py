@@ -453,19 +453,16 @@ def a12_bucket_histogram(spark, sf_dir):
     """,
 )
 def a13_uniqueness_violations(spark, sf_dir):
-    """A13: uniqueness check via salted two-stage aggregation (the
-    north_rule pattern; reference analog adapters.py:327-338). Stage 1
-    pre-counts per (physical partition, key); stage 2 re-aggregates —
-    result identical to a direct groupBy, shuffle bounded under skew."""
+    """A13: uniqueness check as one hash aggregation (north_rule
+    semantics; reference analog adapters.py:327-338). Spark's partial
+    aggregation pre-counts per physical partition map-side, so a hot
+    key ships at most one partial row per map task — the same skew
+    bound the previous explicit (salt, key) two-stage gave, without
+    its second Exchange (r6: 2 Exchanges → 1, plans/r06)."""
     li = t(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("key"))
-    stage1 = (
-        li.withColumn("_salt", F.pmod(F.spark_partition_id(), F.lit(64)))
-        .groupBy("_salt", "key")
-        .agg(F.count(F.lit(1)).alias("_partial"))
-    )
     return (
-        stage1.groupBy("key")
-        .agg(F.sum("_partial").cast("bigint").alias("n"))
+        li.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") > 1)
     )
 
@@ -3069,6 +3066,11 @@ def dedup_lsh_cc_keepfirst(spark, sf_dir):
     target = spark.sparkContext.defaultParallelism
     if corpus.rdd.getNumPartitions() < target:
         corpus = corpus.repartition(target)
+    # the repartition above is a full-payload shuffle; persist its
+    # output so the collapse pass and the membership-expansion pass
+    # read the shuffled corpus once instead of re-shuffling per
+    # consumer (guide §5: reused + expensive to recompute; freed below)
+    corpus = corpus.persist()
     # pairs come back persisted (see dedup_pipeline) so CC's edge
     # checkpoint and this count share one LSH execution
     res = dedup_pipeline(corpus, "doc_id", "text", threshold=0.6)
@@ -3079,6 +3081,8 @@ def dedup_lsh_cc_keepfirst(spark, sf_dir):
     ).first()
     free_local_checkpoint(res.clusters)
     res.pairs.unpersist()
+    res.members.unpersist()
+    corpus.unpersist()
     n_dropped = crow.n_clustered - crow.n_clusters  # one keeper per cluster
     return spark.createDataFrame(
         [(n_corpus, n_pairs, crow.n_clusters, n_dropped, n_corpus - n_dropped)],
@@ -3256,6 +3260,7 @@ def dedup_embedding_cc(spark, sf_dir):
     ).first()
     free_local_checkpoint(res.clusters)
     res.pairs.unpersist()
+    res.members.unpersist()
     n_dropped = crow.n_clustered - crow.n_clusters
     return spark.createDataFrame(
         [(n_corpus, n_pairs, crow.n_clusters, n_dropped, n_corpus - n_dropped)],

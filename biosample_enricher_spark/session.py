@@ -42,6 +42,16 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Prefer shuffled-hash over sort-merge when the per-partition
+        # build side fits (guide §3.1): drops both sort passes from
+        # equi-joins like j4. Scale posture: the planner still falls
+        # back to sort-merge when its size conditions fail, and the AQE
+        # threshold below lets a finished shuffle stage convert at
+        # runtime from observed (not estimated) sizes.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m"
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")

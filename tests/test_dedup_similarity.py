@@ -474,7 +474,9 @@ def test_dedup_pipeline_kept_corpus_and_zero_leak(spark):
     kept_ids = sorted(r.doc_id for r in res.kept.collect())
     n_pairs = res.pairs.count()
     n_clusters = res.clusters.select("cluster_id").distinct().count()
-    res.pairs.unpersist(blocking=True)  # returned persisted by contract
+    # pairs AND members come back persisted by contract (r6)
+    res.pairs.unpersist(blocking=True)
+    res.members.unpersist(blocking=True)
     free_local_checkpoint(res.clusters)
 
     assert kept_ids == [1, 3, 9]
@@ -598,6 +600,7 @@ def test_dedup_pipeline_planted_giant_identical_cluster(spark):
     clusters = {r.doc_id: r.cluster_id for r in res.clusters.collect()}
     kept_ids = {r.doc_id for r in res.kept.collect()}
     res.pairs.unpersist(blocking=True)
+    res.members.unpersist(blocking=True)
     free_local_checkpoint(res.clusters)
 
     n_reps = 200 + 1 + 2  # distinct + collapsed giant + near pair
@@ -641,6 +644,7 @@ def test_dedup_pipeline_merges_exact_group_with_near_dup(spark):
     clusters = {r.doc_id: r.cluster_id for r in res.clusters.collect()}
     kept = sorted(r.doc_id for r in res.kept.collect())
     res.pairs.unpersist(blocking=True)
+    res.members.unpersist(blocking=True)
     free_local_checkpoint(res.clusters)
 
     assert pairs == {(1, 4)}  # rep-level only: no (1,2)/(2,3)/(2,4)…
@@ -792,6 +796,7 @@ def test_exact_vector_collapse_and_embedding_pipeline(spark):
     clusters = {r.doc_id: r.cluster_id for r in res.clusters.collect()}
     kept = {r.vec_id for r in res.kept.collect()}
     res.pairs.unpersist(blocking=True)
+    res.members.unpersist(blocking=True)
     free_local_checkpoint(res.clusters)
 
     # rep-level pairs only: the identical cluster contributes zero
