@@ -60,7 +60,9 @@ def build_bloom(
     """One-row DataFrame ``(words array<long>, m_bits, k)`` encoding the
     Bloom filter of ``catalog[key_col]``. ``m_bits`` must be a multiple
     of 64."""
-    assert m_bits % 64 == 0, "m_bits must be a multiple of 64"
+    if m_bits % 64 != 0:
+        # ValueError, not assert: stripped under python -O (ADVICE r5)
+        raise ValueError("m_bits must be a multiple of 64")
     n_words = m_bits // 64
     key = F.col(key_col)
     pos = F.explode(F.array(*_positions(key, m_bits, k))).alias("pos")
@@ -138,7 +140,10 @@ def bloom_referential_violations(
     named ``words``/``k`` etc. survive untouched.
     """
     reserved = [c for c in facts.columns if c.startswith("_bloom_")]
-    assert not reserved, f"facts columns collide with bloom prefix: {reserved}"
+    if reserved:
+        raise ValueError(
+            f"facts columns collide with bloom prefix: {reserved}"
+        )
     probe_key = F.col(fact_key).cast(catalog.schema[catalog_key].dataType)
     bloom = build_bloom(catalog, catalog_key, m_bits, k).select(
         F.col("words").alias("_bloom_words")

@@ -103,14 +103,25 @@ def heavy_hitters(
     toks = tokens.select(F.col(token_col).alias("token")).where(
         F.col("token").isNotNull()
     )
-    cand = mg_partition_candidates(toks, "token", cap)
+    # the candidate frame is ALWAYS string-typed (mapInPandas schema);
+    # join on an explicit string cast of the fact key so a non-string
+    # token column never goes through implicit bigint↔string coercion
+    # (doubles past 2^53 lose precision and can corrupt the candidate
+    # filter — ADVICE r5). Output keeps the input column's dtype.
+    cand = mg_partition_candidates(toks, "token", cap).select(
+        F.col("token").alias("_mg_token")
+    )
     if broadcast_candidates:
         cand = F.broadcast(cand)
     else:
         cand = cand.distinct()
     n_total = toks.agg(F.count(F.lit(1)).alias("n_total"))
     exact = (
-        toks.join(cand, "token", "left_semi")
+        toks.join(
+            cand,
+            toks["token"].cast("string") == cand["_mg_token"],
+            "left_semi",
+        )
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

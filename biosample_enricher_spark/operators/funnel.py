@@ -28,10 +28,15 @@ def funnel_stages(
     """One row per user who reached stage 1: the first-event timestamp
     of every stage reached (``t_<stage>`` columns, null once the chain
     breaks) plus ``stage`` — how deep the user got (1..len(stages))."""
-    assert len(stages) >= 2
-    assert len(set(stages)) == len(stages), "stage names must be unique"
+    if len(stages) < 2:
+        raise ValueError("funnel needs at least 2 stages")
+    if len(set(stages)) != len(stages):
+        raise ValueError("stage names must be unique")
     clash = [c for c in events.columns if c in {f"t_{s}" for s in stages}]
-    assert not clash, f"events columns collide with stage outputs: {clash}"
+    if clash:
+        raise ValueError(
+            f"events columns collide with stage outputs: {clash}"
+        )
     cur = (
         events.where(F.col(type_col) == stages[0])
         .groupBy(user_col)

@@ -194,15 +194,25 @@ def grid_near_join(
     classification of elevation/classifier.py:104-172, lifted from
     per-row box tests to a two-sided distributed near-join.
     """
+    if radius < 1:
+        # ValueError, not a mid-job ANSI error: radius 0 makes
+        # pmod(c, 0) fail (or NULL) inside every task (ADVICE r5)
+        raise ValueError(f"radius must be >= 1, got {radius}")
     r2 = radius * radius
 
     def cell(c: str) -> Column:
-        return F.expr(f"({c} - pmod({c}, {radius})) div {radius}")
+        # the bigint cast also protects the distance arithmetic below:
+        # int32 inputs would compute dx*dx in int and wrap silently in
+        # non-ANSI mode (ADVICE r5); long keeps coords < ~2^31 exact
+        return F.expr(
+            f"(cast({c} as bigint) - pmod(cast({c} as bigint), {radius}))"
+            f" div {radius}"
+        )
 
     a = pts_a.select(
         F.col("id").alias("id_a"),
-        F.col("x").alias("xa"),
-        F.col("y").alias("ya"),
+        F.col("x").cast("long").alias("xa"),
+        F.col("y").cast("long").alias("ya"),
         cell("x").alias("ca_x"),
         cell("y").alias("ca_y"),
     )
@@ -229,8 +239,8 @@ def grid_near_join(
     )
     b = pts_b.select(
         F.col("id").alias("id_b"),
-        F.col("x").alias("xb"),
-        F.col("y").alias("yb"),
+        F.col("x").cast("long").alias("xb"),
+        F.col("y").cast("long").alias("yb"),
         cell("x").alias("cx"),
         cell("y").alias("cy"),
     )

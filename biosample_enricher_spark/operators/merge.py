@@ -54,5 +54,25 @@ def merge_upsert(
     untouched = base.join(
         changes.select(*keys).distinct(), on=keys, how="left_anti"
     )
-    upserts = changes.where(F.col(op_col) == "upsert").select(*base.columns)
+    # Fail fast on unknown op values (ADVICE r5): an unrecognized op
+    # (e.g. a typo'd 'update') would be removed from base by the
+    # anti-join but re-inserted by neither branch — silent DELETE
+    # semantics for a malformed row. raise_error inside the upsert
+    # filter keeps this a single distributed pass (no driver count);
+    # ANSI-safe because the branch only evaluates on non-OPS rows.
+    op = F.col(op_col)
+    checked = F.when(op.isin(*OPS), op).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"merge_upsert: unknown {op_col} value "),
+                F.coalesce(op, F.lit("NULL")),
+                F.lit(f" (expected one of {OPS})"),
+            )
+        )
+    )
+    upserts = (
+        changes.withColumn(op_col, checked)
+        .where(F.col(op_col) == "upsert")
+        .select(*base.columns)
+    )
     return untouched.unionByName(upserts)

@@ -131,19 +131,38 @@ def topk_per_group(
     first shuffle still carried the whole dataset; the committed plan
     evidence caught the false claim.
     """
-    cols = [c for c, _ in order_by]
-    asc = [a for _, a in order_by]
     schema = df.schema
 
     def partition_topk(batches):
         import pandas as pd
 
+        def spark_ordered(pool):
+            # Align the pandas truncation with the stage-2 Spark window
+            # on edge inputs (ADVICE r5): sort column-by-column with a
+            # stable sort, applying Spark's NULL placement per column
+            # (asc → NULLS FIRST, desc → NULLS LAST) — a single
+            # sort_values call has one na_position for all columns and
+            # pandas' default ('last') diverges from Spark on every
+            # ascending column. Float NaN follows the NULL placement
+            # (pandas cannot distinguish the two); NaN-carrying order
+            # columns remain outside the operator's contract.
+            for c, a in reversed(order_by):
+                pool = pool.sort_values(
+                    by=c,
+                    ascending=a,
+                    na_position="first" if a else "last",
+                    kind="mergesort",
+                )
+            return pool
+
         state = None
         for pdf in batches:
             pool = pdf if state is None else pd.concat([state, pdf])
             state = (
-                pool.sort_values(by=cols, ascending=asc, kind="mergesort")
-                .groupby(list(group_cols), sort=False)
+                spark_ordered(pool)
+                # dropna=False: Spark groups null keys null-safely; the
+                # pandas default silently DROPPED those rows entirely
+                .groupby(list(group_cols), sort=False, dropna=False)
                 .head(k)
             )
         if state is not None and len(state):

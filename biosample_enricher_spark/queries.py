@@ -8575,12 +8575,15 @@ def x17_split_decontamination(spark, sf_dir):
     then asks which VAL/TEST docs share a gram with the TRAIN split
     (an eval doc whose n-grams appear in training data is a leaked
     benchmark row). Scale shape is the reverse of x6's: train grams
-    are the CORPUS-sized side, so the small eval gram set
-    deduplicates and broadcasts, the train gram stream semi-joins
-    against it (only grams that could matter survive — a tiny set),
-    and that survivor set broadcasts back to flag eval docs — the
-    corpus side never shuffles. Output: per-split doc and
-    contaminated counts."""
+    are the CORPUS-sized side; the eval gram set deduplicates, the
+    train gram stream semi-joins against it, and the survivor set
+    flags eval docs. r6 (VERDICT #2): the eval side is 10% of the
+    corpus BY CONSTRUCTION (the 90/5/5 split), so forcing
+    ``F.broadcast`` on it was an OOM at 100 TB (~10 TB of distinct
+    grams into a broadcast); the hints are gone and AQE picks the
+    strategy from observed sizes — broadcast at demo SF, a shuffled
+    semi-join at scale, identical rows either way. Output: per-split
+    doc and contaminated counts."""
     from .operators.text import ascii_word_tokens
 
     d = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
@@ -8606,14 +8609,14 @@ def x17_split_decontamination(spark, sf_dir):
     hot = (
         sp.where(F.col("split") == "train")
         .select(F.explode("grams").alias("gram"))
-        .join(F.broadcast(ev_grams), "gram", "left_semi")
+        .join(ev_grams, "gram", "left_semi")
         .distinct()
     )
     ev = sp.where(F.col("split") != "train").select(
         "doc_id", "split", F.explode("grams").alias("gram")
     )
     flagged = (
-        ev.join(F.broadcast(hot), "gram", "left_semi")
+        ev.join(hot, "gram", "left_semi")
         .select("doc_id", "split")
         .distinct()
         .withColumn("hit", F.lit(1))
@@ -8651,71 +8654,66 @@ def x17_split_decontamination(spark, sf_dir):
 # commit regardless of this order.
 
 DRIVER_WINDOW: list[str] = [
-    # round-5 rotation, v2 (see WINDOW_COVERAGE.md). Priority order:
-    # (1) the seven round-4 post-window queries — registered after the
-    #     r4 window filled, never externally checked (r4 VERDICT #2);
-    "o5_offset_pagination",
-    "j9_transition_counts",
-    "a19_daily_active_users",
-    "u6_union_missing_cols",
-    "p11_stratified_sample",
-    "a20_gapfill_daily",
-    "p12_unpivot",
-    # (2) oracle upgraded this round: rows-only → exact SQL;
-    "drift_ks_by_partition",
-    # (3) output/semantics changed this round (quantified metric
-    #     columns; exact collapse + hot-bucket cap in the pipeline);
-    "dedup_minhash_pairs",
-    "ann_srp_topk",
-    "dedup_lsh_cc_keepfirst",
-    "dedup_simhash_pairs",
-    "a2_approx_distinct",
-    "ann_ivf_topk",
-    "ann_ivf_build_probe",
-    # (4) every query REGISTERED this round — 31 first-time external
-    #     checks (never-checked beats re-verification of green rows:
-    #     the same priority rule the r4→r5 rotation applied to the
-    #     seven queries in (1));
-    "o6_keyset_pagination",
-    "mix_corpus_weighted",
-    "a21_sliding_distinct",
-    "drift_emd_nchars",
-    "w8_rank_variants",
-    "a22_entropy_profile",
-    "a23_outlier_zscore",
-    "dedup_ngram_jaccard",
-    "a24_heavy_hitters",
-    "w9_forward_fill",
-    "a25_skew_kurtosis",
-    "streaming_sessionize",
-    "a26_sequence_gaps",
-    "a27_benford_digits",
-    "a28_exact_percentiles",
-    "u8_exists_subquery",
-    "v1_order_reconciliation",
-    "v2_temporal_integrity",
-    "v3_key_skew_profile",
-    "v4_table_fingerprint",
-    "v5_functional_dependency",
-    "x6_decontamination",
-    "x7_repetition_profile",
-    "x8_pii_scan",
-    "x9_chunk_pack",
-    "v6_bloom_referential",
-    "sp1_span_offsets",
-    "fn1_funnel_stages",
-    "er1_fuzzy_name_match",
-    "rt1_cohort_retention",
-    "dedup_embedding_cc",
-    "streaming_interval_join",
-    "a29_topk_agg_mergeable",
-    "zo1_zorder_scan",
-    "drift_embedding_centroid",
-    # (end of group 4 — all 35 queries registered this round get their
-    # first external check; every r3-/r4-green query parks with its
-    # prior green rows as the valid external signal — the r4 VERDICT's
-    # own accounting rule for rotated-out queries.)
-    # window is now exactly 50
+    # round-6 rotation (see WINDOW_COVERAGE.md). Priority order:
+    # (1) all 48 queries that registered after the r5 window filled
+    #     (batches r5f-r5o) and have NEVER had an external
+    #     CORRECTNESS row (r5 VERDICT #1) — in registration order;
+    "a31_trend_slope",
+    "v7_k_anonymity",
+    "mm1_frame_windows",
+    "x10_url_profile",
+    "v8_snapshot_diff",
+    "sp2_span_overlap",
+    "j10_salted_skew_join",
+    "x11_tfidf_terms",
+    "a32_winsorized_stats",
+    "v9_scd2_history",
+    "a33_time_weighted_avg",
+    "drift_cusum_maxshift",
+    "a34_mad_robust",
+    "v10_orphan_assets",
+    "x12_minmax_scale",
+    "streaming_dedup_watermark",
+    "drift_chi2_independence",
+    "m1_merge_upsert",
+    "star1_revenue_rollup",
+    "w10_rolling_zscore",
+    "w11_interval_merge",
+    "a35_bitmap_distinct",
+    "j11_spatial_grid_join",
+    "a36_countmin_freq",
+    "streaming_static_join",
+    "a37_weighted_median",
+    "v11_range_checksum_diff",
+    "g1_pagerank",
+    "j12_bucketed_join",
+    "fn2_last_touch_attribution",
+    "sp3_kind_grammar",
+    "x14_span_token_budget",
+    "v12_new_categories",
+    "er2_entity_groups",
+    "x15_clean_pipeline",
+    "drift_quantile_shift",
+    "g2_triangle_count",
+    "cdc1_changelog_apply",
+    "v13_equidepth_histogram",
+    "w13_pareto_abc",
+    "j13_asof_forward",
+    "x16_split_assign",
+    "a38_sliding_distinct_hll",
+    "streaming_foreachbatch_sink",
+    "s13_csv_roundtrip",
+    "j14_nullsafe_join",
+    "w14_rolling_median",
+    "x17_split_decontamination",
+    # (2) the two SQL-oracled queries whose implementation changed
+    #     in the r6 optimization round (single-stage aggregation /
+    #     driver-folded query norm) — results proven identical to
+    #     their oracles in-repo, re-verified externally;
+    "a13_uniqueness_violations",
+    "ann_bruteforce_topk",
+    # window is now exactly 50; every parked query keeps its prior
+    # green CORRECTNESS rows as the valid external signal.
 ]
 
 

@@ -53,7 +53,7 @@ def test_filter_is_dense_and_sized(spark):
     row = build_bloom(cat, "key", m_bits=1 << 12, k=4).collect()[0]
     assert len(row.words) == (1 << 12) // 64
     assert row.m_bits == 1 << 12 and row.k == 4
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         build_bloom(cat, "key", m_bits=100)  # not a multiple of 64
 
 
@@ -133,5 +133,5 @@ def test_referential_tier_tolerates_fact_column_named_words(spark):
     import pytest as _pytest
 
     bad = facts.withColumnRenamed("words", "_bloom_words")
-    with _pytest.raises(AssertionError, match="_bloom_"):
+    with _pytest.raises(ValueError, match="_bloom_"):
         bloom_referential_violations(bad, "key", catalog, "ckey")

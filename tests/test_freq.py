@@ -100,3 +100,19 @@ def test_heavy_hitters_shuffled_semi_join_path_matches(spark):
         ).collect()
     }
     assert a == b and len(a) == 8
+
+
+def test_heavy_hitters_bigint_tokens_no_string_coercion_loss(spark):
+    """r6 (ADVICE r5): the MG candidate frame is string-typed; joining
+    it against a BIGINT fact column must compare string-to-string, not
+    coerce both to double (which collapses keys past 2^53). Two huge
+    keys that are double-equal but distinct must both survive."""
+    from pyspark.sql import functions as F
+
+    k1 = 9_007_199_254_740_993  # 2^53 + 1
+    k2 = 9_007_199_254_740_992  # 2^53     (same double as k1)
+    rows = [(k1,)] * 30 + [(k2,)] * 30 + [(i,) for i in range(40)]
+    toks = spark.createDataFrame(rows, "token long").repartition(4)
+    got = {r.token: r.cnt for r in heavy_hitters(toks, k=4).collect()}
+    assert got == {k1: 30, k2: 30}
+    assert heavy_hitters(toks, k=4).schema["token"].dataType.typeName() == "long"

@@ -80,3 +80,17 @@ def test_merge_rejects_column_mismatch(spark):
     )
     with pytest.raises(ValueError, match="!= base"):
         merge_upsert(base, bad, ["k"])
+
+
+def test_merge_rejects_unknown_op_value(spark):
+    """r6 (ADVICE r5): an unrecognized op must FAIL the job, not
+    silently behave as DELETE (anti-joined out of base, re-inserted by
+    neither branch)."""
+    from pyspark.errors import SparkRuntimeException
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], BASE_SCHEMA)
+    bad = spark.createDataFrame(
+        [(1, "a2", "update")], "k bigint, v string, op string"
+    )
+    with pytest.raises(SparkRuntimeException, match="unknown op"):
+        _snap(merge_upsert(base, bad, ["k"]))

@@ -76,51 +76,39 @@ def test_rows_only_queries_run(spark, name):
 
 
 def test_driver_window_ordering():
-    """Round-5 rotation v2: the seven never-externally-checked r4
-    post-window queries lead, then the oracle-upgraded drift query,
-    the seven r5-changed queries, and every one of the 35 queries
-    REGISTERED this round (first external check beats
-    re-verification of green rows) filling the 50-entry driver
-    window; all parked queries keep prior green rows as signal."""
+    """Round-6 rotation: every query that has NEVER had an external
+    CORRECTNESS row in rounds 1-5 fills the window first (48 — the
+    r5f-r5o registrations that landed after the r5 window filled, r5
+    VERDICT #1), then the two SQL-oracled queries whose implementation
+    changed in the r6 optimization round; all parked queries keep
+    prior green rows as signal."""
+    import json
+    import os
+
     from biosample_enricher_spark.queries import DRIVER_WINDOW, QUERIES
 
     names = list(QUERIES)
     assert names[: len(DRIVER_WINDOW)] == DRIVER_WINDOW
     assert len(DRIVER_WINDOW) == 50
-    assert names[:7] == [
-        "o5_offset_pagination", "j9_transition_counts",
-        "a19_daily_active_users", "u6_union_missing_cols",
-        "p11_stratified_sample", "a20_gapfill_daily", "p12_unpivot",
-    ]
-    assert names[7] == "drift_ks_by_partition"
-    # every query registered in round 5 gets its first external check
-    r5_new = (
-        "o6_keyset_pagination", "mix_corpus_weighted",
-        "a21_sliding_distinct", "drift_emd_nchars", "w8_rank_variants",
-        "a22_entropy_profile", "a23_outlier_zscore",
-        "dedup_ngram_jaccard", "a24_heavy_hitters", "w9_forward_fill",
-        "a25_skew_kurtosis", "streaming_sessionize", "a26_sequence_gaps",
-        "a27_benford_digits", "a28_exact_percentiles",
-        "u8_exists_subquery", "v1_order_reconciliation",
-        "v2_temporal_integrity", "v3_key_skew_profile",
-        "v4_table_fingerprint", "v5_functional_dependency",
-        "x6_decontamination", "x7_repetition_profile", "x8_pii_scan",
-        "x9_chunk_pack", "v6_bloom_referential", "sp1_span_offsets",
-        "fn1_funnel_stages", "er1_fuzzy_name_match",
-        "rt1_cohort_retention", "dedup_embedding_cc",
-        "streaming_interval_join", "a29_topk_agg_mergeable",
-        "zo1_zorder_scan", "drift_embedding_centroid",
-    )
-    for q in r5_new:
-        assert names.index(q) < 50, q
-    # r5-changed outputs re-verified ahead of the new registrations
-    for q in ("dedup_minhash_pairs", "ann_srp_topk",
-              "dedup_lsh_cc_keepfirst", "dedup_simhash_pairs",
-              "a2_approx_distinct", "ann_ivf_topk", "ann_ivf_build_probe"):
-        assert names.index(q) < 16
+    # derive "never externally checked" from the recorded CORRECTNESS
+    # files themselves, so this pin cannot drift from the evidence
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    checked: set[str] = set()
+    for r in range(1, 6):
+        path = os.path.join(repo, f"CORRECTNESS_r0{r}.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                checked |= set(json.load(f))
+    never = [n for n in names if n not in checked]
+    assert len(never) == 48
+    for q in never:
+        assert names.index(q) < 48, q
+    # the two r6-changed SQL-oracled queries get re-verified externally
+    assert names[48] == "a13_uniqueness_violations"
+    assert names[49] == "ann_bruteforce_topk"
     # parked queries keep their prior green rows as the valid signal
     for q in ("j3_referential_antijoin", "j4_tolerance_join",
-              "f18_geo_loc_parse", "a13_uniqueness_violations",
+              "f18_geo_loc_parse", "o5_offset_pagination",
               "p2_multiformat_coordinates", "s3_tablesample",
               "p1_normalizing_projection", "dsl_validation_verdicts"):
         assert names.index(q) >= 50

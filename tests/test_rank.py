@@ -152,3 +152,18 @@ def test_topk_per_group_partitioning_invariant_with_ties(spark):
             ).collect()
         }
         assert got == expected, parts
+
+
+def test_topk_per_group_null_group_keys_survive_truncation(spark):
+    """r6 (ADVICE r5): pandas groupby drops null keys by default — the
+    stage-1 truncation must keep them (Spark groups null-safely), and
+    null order values must rank as Spark ranks them (asc -> first)."""
+    from pyspark.sql import functions as F
+
+    from biosample_enricher_spark.operators.rank import topk_per_group
+
+    rows = [("g", 5), ("g", 3), ("g", 1), (None, 9), (None, 2), (None, 7)]
+    df = spark.createDataFrame(rows, "grp string, val int").repartition(3)
+    got = topk_per_group(df, ["grp"], [("val", True), ("grp", True)], 2)
+    out = {(r.grp, r.val, r.rank) for r in got.collect()}
+    assert out == {("g", 1, 1), ("g", 3, 2), (None, 2, 1), (None, 7, 2)}
