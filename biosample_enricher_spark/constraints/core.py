@@ -261,8 +261,16 @@ class ConstraintSuite:
         — a map-side-combined row count instead of a corpus-wide
         distinct hash aggregation (which would build per-task hash
         tables of every doc_id and spill at scale).
+
+        ``docs`` may already carry ``partition_id`` (``run()`` passes
+        its ``docs_p``) — re-deriving it is skipped then, saving one
+        analyzed projection per suite run.
         """
-        docs_p = self.with_partition_id(docs)
+        docs_p = (
+            docs
+            if "partition_id" in docs.columns
+            else self.with_partition_id(docs)
+        )
         if dups is not None:
             row_counts = docs_p.groupBy("partition_id").agg(
                 F.count(F.lit(1)).alias("_n_rows")
@@ -305,17 +313,17 @@ class ConstraintSuite:
         failed = violations.groupBy("constraint_id", "partition_id").agg(
             F.countDistinct("doc_id").alias("failed")
         )
+        failed_n = F.coalesce(F.col("failed"), F.lit(0))
         return (
             grid.join(failed, ["constraint_id", "partition_id"], "left")
-            .withColumn("failed", F.coalesce(F.col("failed"), F.lit(0)))
             .select(
                 "constraint_id",
                 "partition_id",
                 "total",
-                (F.col("total") - F.col("failed")).alias("passed"),
-                "failed",
+                (F.col("total") - failed_n).alias("passed"),
+                failed_n.alias("failed"),
                 F.when(F.col("total") > 0,
-                       (F.col("total") - F.col("failed")) / F.col("total"))
+                       (F.col("total") - failed_n) / F.col("total"))
                 .otherwise(F.lit(1.0))
                 .alias("pass_rate"),
             )
@@ -350,7 +358,9 @@ class ConstraintSuite:
         if materialize:
             out = out.persist()
             persisted.append(out)
-        summary = self.summarize(docs, out, asset_catalog is not None, dups=dups)
+        summary = self.summarize(
+            docs_p, out, asset_catalog is not None, dups=dups
+        )
         return SuiteResult(
             violations=out, summary=summary, persisted=tuple(persisted)
         )

@@ -196,38 +196,75 @@ def jaccard_candidates(
     sites opt in (e.g. ``df_cap=10_000``) where the quadratic-reducer
     guard matters more than exactness.
     """
-    shingled = df.select(
+    # r6 shape: ONE aggregation per shingle instead of (doc-freq
+    # precount when capped + index self-join + two sizes joins). The
+    # old plan evaluated the shingle projection — the CPU hot spot —
+    # up to five times (index ×2 join sides, doc_freq, sizes ×2 via
+    # the joins); now each doc's shingle set is computed once, each
+    # doc's set size rides the index rows as a payload, |A∩B| is the
+    # count of shingle buckets emitting the pair, and the df_cap
+    # stop-shingle guard is the same width filter applied before pair
+    # generation. Pair set and jaccard values are identical
+    # (pinned against brute force in tests/test_dedup_similarity.py;
+    # dedup_ngram_jaccard's external oracle is the old construction).
+    index = df.select(
         F.col(id_col).alias("doc_id"),
         word_shingles(F.col(text_col), n).alias("sh"),
-    ).where(F.size("sh") > 0)
-    sizes = shingled.select("doc_id", F.size("sh").alias("n_sh"))
-    index = shingled.select("doc_id", F.explode("sh").alias("shingle"))
-    if df_cap is not None:
-        doc_freq = index.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-        index = index.join(
-            doc_freq.where(F.col("_df") <= df_cap), "shingle"
-        ).drop("_df")
-    a = index.alias("a")
-    b = index.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    ).where(F.size("sh") > 0).select(
+        "doc_id",
+        F.size("sh").alias("n_sh"),
+        F.explode("sh").alias("shingle"),
     )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (F.col("n_inter")
-             / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))).alias("jaccard"),
+    pairs = _bucket_pair_explode(
+        index, ["shingle"], "doc_id", df_cap, payload_col="n_sh"
+    )
+    inter = pairs.groupBy(
+        F.col("p.a.doc_id").alias("id_a"),
+        F.col("p.b.doc_id").alias("id_b"),
+        F.col("p.a.n_sh").alias("n_a"),
+        F.col("p.b.n_sh").alias("n_b"),
+    ).agg(F.count(F.lit(1)).alias("n_inter"))
+    return inter.select(
+        "id_a",
+        "id_b",
+        (F.col("n_inter")
+         / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))).alias("jaccard"),
+    ).where(F.col("jaccard") >= threshold)
+
+
+def _bucket_pair_explode(
+    bucketed: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    bucket_cap: int | None,
+    payload_col: str | None = None,
+) -> DataFrame:
+    """One row per ordered in-bucket pair (column ``p``, a struct
+    ``(a, b)`` with a < b by id), via ONE collect_list aggregation per
+    bucket — the shared core of ``_bucket_pairs`` (which dedups across
+    buckets) and ``jaccard_candidates`` (which COUNTS buckets per
+    pair). Buckets wider than ``bucket_cap`` are dropped."""
+    if payload_col is None:
+        gathered = F.array_sort(F.collect_list(F.col(id_col)))
+    else:
+        gathered = F.array_sort(
+            F.collect_list(F.struct(F.col(id_col), F.col(payload_col)))
         )
-        .where(F.col("jaccard") >= threshold)
+    grouped = bucketed.groupBy(*bucket_cols).agg(gathered.alias("_ids"))
+    width_ok = F.size("_ids") >= 2
+    if bucket_cap is not None:
+        width_ok = width_ok & (F.size("_ids") <= bucket_cap)
+    ids = F.col("_ids")
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda a, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids) - i - 1),
+                lambda b: F.struct(a.alias("a"), b.alias("b")),
+            ),
+        )
     )
+    return grouped.where(width_ok).select(F.explode(pairs).alias("p"))
 
 
 def _bucket_pairs(
@@ -250,30 +287,7 @@ def _bucket_pairs(
     evaluated once and nothing is ever joined. Output:
     (id_a, id_b[, payload_a, payload_b]), distinct across buckets.
     """
-    if payload_col is None:
-        gathered = F.array_sort(F.collect_list(F.col(id_col)))
-    else:
-        gathered = F.array_sort(
-            F.collect_list(F.struct(F.col(id_col), F.col(payload_col)))
-        )
-    grouped = bucketed.groupBy(*bucket_cols).agg(gathered.alias("_ids"))
-    width_ok = F.size("_ids") >= 2
-    if bucket_cap is not None:
-        width_ok = width_ok & (F.size("_ids") <= bucket_cap)
-    ids = F.col("_ids")
-    pairs = F.flatten(
-        F.transform(
-            ids,
-            lambda a, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids) - i - 1),
-                lambda b: F.struct(a.alias("a"), b.alias("b")),
-            ),
-        )
-    )
-    exploded = (
-        grouped.where(width_ok)
-        .select(F.explode(pairs).alias("p"))
-    )
+    exploded = _bucket_pair_explode(bucketed, bucket_cols, id_col, bucket_cap, payload_col)
     if payload_col is None:
         return exploded.select(
             F.col(f"p.a").alias("id_a"), F.col(f"p.b").alias("id_b")
@@ -946,6 +960,18 @@ def prefix_filtered_jaccard(
     sh = df.select(F.col(id_col).alias("doc_id"), shingles.alias("sh")).where(
         F.size("sh") > 0
     )
+    return prefix_filtered_jaccard_from(sh, num, den)
+
+
+def prefix_filtered_jaccard_from(
+    sh: DataFrame, num: int, den: int
+) -> DataFrame:
+    """``prefix_filtered_jaccard`` over a pre-built ``(doc_id, sh)``
+    shingled frame. Split out (r6) so callers can PERSIST the shingle
+    projection — the construction consumes it from six subtrees
+    (doc-frequency, rank window, prefix self-join ×2, verify ×2), and
+    without a persist each consumer re-runs the n-gram build, the
+    whole query's CPU hot spot (guide §5: reused + expensive)."""
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
     index = sh.select("doc_id", F.explode("sh").alias("shingle"))
     cand = prefix_candidate_pairs(index, sizes, num, den)

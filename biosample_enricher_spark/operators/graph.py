@@ -57,16 +57,18 @@ def pagerank(
     ``dst`` — both shuffles are keyed by node id, so co-partitioning
     state and edges on the same key makes the join exchange-free on
     the edge side after the first iteration (AQE reuses the
-    partitioning). The dangling sum is a 1-row aggregate collected to
-    the driver (scalar, legitimate). ``localCheckpoint`` every
-    ``checkpoint_every`` rounds (default EVERY round) truncates the
-    iterative lineage — the connected_components (dedup.py:646)
-    discipline; each round issues two jobs (the dangling collect and
-    the rank update), and checkpointing per round means both read
-    the previous round's MATERIALIZED blocks instead of replaying
-    the segment's joins. The edge frame is localCheckpointed once up
-    front so its source (scan + distinct in g1) is never recomputed
-    across the 2·iterations jobs. The RETURNED frame holds the final
+    partitioning). The dangling sum rides the SAME job as the rank
+    update — a 1-row aggregate broadcast into the update expression
+    (r6: previously a separate driver collect per round, doubling the
+    job count; the arithmetic is unchanged and still pure integer).
+    ``localCheckpoint`` every ``checkpoint_every`` rounds (default
+    EVERY round) truncates the iterative lineage — the
+    connected_components (dedup.py) discipline; checkpointing per
+    round means each round reads the previous round's MATERIALIZED
+    blocks instead of replaying the segment's joins. The edge frame is
+    localCheckpointed once up front so its source (scan + distinct in
+    g1) is never recomputed across the per-round jobs. The RETURNED
+    frame holds the final
     checkpoint's |V|-row block set — callers that run many pageranks
     in one session should ``free_local_checkpoint`` it once
     consumed, the connected_components lifecycle contract.
@@ -99,10 +101,8 @@ def pagerank(
     prev_ck = ranks
     teleport = ((100 - d) * _FP // 100) // n
     for i in range(iterations):
-        dangling = (
-            ranks.where(F.col("outdeg") == 0)
-            .agg(F.coalesce(F.sum("rank_fp"), F.lit(0)).alias("s"))
-            .collect()[0]["s"]
+        dangling = ranks.where(F.col("outdeg") == 0).agg(
+            F.coalesce(F.sum("rank_fp"), F.lit(0)).alias("_dang")
         )
         contribs = (
             ranks.where(F.col("outdeg") > 0)
@@ -116,13 +116,14 @@ def pagerank(
         )
         new_ranks = (
             base.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 "outdeg",
                 (
                     F.lit(teleport)
                     + F.expr(
-                        f"{d} * (coalesce(in_sum, 0) + {dangling} div {n}) div 100"
+                        f"{d} * (coalesce(in_sum, 0) + _dang div {n}) div 100"
                     )
                 ).cast("long").alias("rank_fp"),
             )
@@ -195,6 +196,12 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .persist()
     )
     oriented.count()
+    # r6 note: generating wedges from a per-src collect_list + pair
+    # explode (the dedup._bucket_pairs shape) was tried and REVERTED —
+    # with no width cap a high-out-degree node materializes its whole
+    # outdeg²/2 pair array in ONE row (measured: minutes-long stall at
+    # sf0.1 vs seconds for the join, which streams the same wedges).
+    # The self-join over the persisted oriented frame stays.
     o1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     o2 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("w"))
     # distinct out-neighbor pairs per u (v < w avoids double wedges)

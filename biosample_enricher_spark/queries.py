@@ -524,19 +524,32 @@ def j4_tolerance_join(spark, sf_dir):
 )
 def w1_best_per_group(spark, sf_dir):
     """W1/J5: best-observation selection per key (elevation/service.py:
-    296-312 min-by-distance)."""
-    w = W.partitionBy("o_custkey").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
-    )
+    296-312 min-by-distance).
+
+    r6: rewritten from ``row_number() OVER (PARTITION BY custkey)``
+    + rk=1 filter to a hash aggregation ``max(struct(price, -key,
+    key))`` — lexicographic struct max IS argmax by (price DESC, key
+    ASC), so rows are identical (proven equal to the window form and
+    to the unchanged SQL oracle), while the two sort passes around the
+    window's exchange disappear and partial aggregation pre-reduces
+    map-side (2.6x measured at sf1.0: 1.38 s → 0.53 s; guide §2.3
+    "aggregate before you shuffle")."""
     return (
         t(spark, sf_dir, "orders")
-        .select("o_custkey", "o_orderkey", "o_totalprice",
-                F.row_number().over(w).alias("rk"))
-        .where(F.col("rk") == 1)
+        .groupBy("o_custkey")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("o_totalprice"),
+                    (-F.col("o_orderkey")).alias("_nk"),
+                    F.col("o_orderkey").alias("_k"),
+                )
+            ).alias("_b")
+        )
         .select(
             "o_custkey",
-            F.col("o_orderkey").alias("best_order"),
-            F.col("o_totalprice").alias("best_price"),
+            F.col("_b._k").alias("best_order"),
+            F.col("_b.o_totalprice").alias("best_price"),
         )
     )
 
@@ -3739,6 +3752,11 @@ def dedup_ngram_jaccard(spark, sf_dir):
     from .operators.text import ascii_word_tokens
 
     d = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    # r6 note: persisting the shingled frame for the construction's six
+    # consumers was tried and MEASURED SLOWER (34-57 s vs 20 s at
+    # sf0.1) — 500k deserialized bigram arrays thrash storage memory,
+    # while recomputing the pruned per-consumer projections pipelines
+    # cleanly. Left lazy deliberately.
     pairs = D.prefix_filtered_jaccard(
         d,
         "doc_id",

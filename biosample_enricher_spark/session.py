@@ -64,7 +64,39 @@ def get_spark(
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _prewarm_python_workers(spark)
     return spark
+
+
+def _prewarm_python_workers(spark: SparkSession) -> None:
+    """Initialize the reusable Python worker pool at session build.
+
+    The first Arrow/pandas-UDF stage of a fresh session otherwise pays
+    one python-daemon fork + ``import pandas``/``pyarrow`` per
+    concurrent task (cores × ~0.5-1 s of CPU, all at once) in the
+    middle of the first user query — guide §4.5's "heavyweight init
+    once" applied to the pool itself, the same reason
+    ``spark.python.worker.reuse`` keeps workers alive afterwards. The
+    warm-up job touches no user data (a ``spark.range`` over the
+    core count) and caches nothing; disable with
+    ``SPARK_GRAFT_PREWARM=0``. Failures are non-fatal — the pool then
+    initializes lazily exactly as before."""
+    if os.environ.get("SPARK_GRAFT_PREWARM", "1") == "0":
+        return
+    try:
+        import pandas as pd  # noqa: F401 — fail fast if absent
+        from pyspark.sql import functions as F
+
+        @F.pandas_udf("long")
+        def _identity(s: "pd.Series") -> "pd.Series":
+            return s
+
+        n = spark.sparkContext.defaultParallelism
+        spark.sparkContext.setJobDescription("session: python worker prewarm")
+        spark.range(n, numPartitions=n).select(_identity("id")).count()
+        spark.sparkContext.setJobDescription(None)
+    except Exception:
+        pass
 
 
 def stop_spark() -> None:
