@@ -730,10 +730,18 @@ def connected_components(
     one map-side-combined min aggregate + one self-join on the label
     frame (|nodes| rows, NOT |edges|); ``localCheckpoint`` truncates
     the growing iterative lineage so round N's plan does not replay
-    rounds 1..N-1 (the standard Spark iterative-algorithm trap). Stops
-    early at a fixpoint (cheap changed-count on the label frame);
-    raises if ``max_iterations`` rounds were not enough rather than
-    returning a half-merged clustering.
+    rounds 1..N-1 (the standard Spark iterative-algorithm trap).
+
+    Fixpoint test (r6): labels are monotone non-increasing per node
+    (min-propagation can only lower them; the jump assigns
+    ``label(label) ≤ label``), so the label SUM is strictly decreasing
+    until convergence and "sum unchanged ⇒ no node changed" is exact —
+    summed in DECIMAL(38,0) (10¹² nodes × 2⁶³ max label ≈ 10³¹ ≪ 10³⁸,
+    no overflow, unlike a wrapping BIGINT sum). This replaces the old
+    per-round new⋈old label join (a |nodes|-row shuffle job) with one
+    map-side aggregate over the round's already-materialized
+    checkpoint blocks. Raises if ``max_iterations`` rounds were not
+    enough rather than returning a half-merged clustering.
 
     Returns ``(doc_id, cluster_id)`` for every node incident to an
     edge; cluster_id = min doc_id in the component.
@@ -765,6 +773,13 @@ def connected_components(
     )
     if stats is not None:
         stats["n_edge_rows"] = edges.count()
+
+    def label_sum(frame: DataFrame):
+        return frame.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = label_sum(labels)
     for it in range(max_iterations):
         nbr = edges.join(
             labels, edges["v"] == labels["node"], "inner"
@@ -784,20 +799,14 @@ def connected_components(
             .select(stepped["node"], F.col("jlabel").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        new_sum = label_sum(new_labels)
         # the superseded label frame is never read again after the
-        # changed-count — free its checkpoint blocks now, or up to
+        # fixpoint test — free its checkpoint blocks now, or up to
         # max_iterations frames of |nodes| rows pile up in storage
         # and outlive the call in long-lived sessions
         free_local_checkpoint(labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             if stats is not None:
                 stats["rounds"] = it + 1
             # edges' blocks are also dead now; labels stays persisted —
@@ -807,6 +816,7 @@ def connected_components(
                 F.col("node").alias("doc_id"),
                 F.col("label").alias("cluster_id"),
             )
+        prev_sum = new_sum
     free_local_checkpoint(edges)
     free_local_checkpoint(labels)
     raise RuntimeError(
