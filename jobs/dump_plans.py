@@ -31,10 +31,13 @@ SECTIONS = [
         "schema is pruned to the referenced columns.",
     ),
     (
-        "a13_uniqueness_violations — salted two-stage aggregation",
-        "Stage 1 pre-aggregates per salt bucket; the global merge "
-        "shuffles only (key, partial) rows: reducer input is bounded "
-        "by cardinality × salt, not data size, under any skew.",
+        "a13_uniqueness_violations — single hash aggregation (r6)",
+        "Spark's partial (map-side) aggregation pre-counts per "
+        "physical partition, so the one Exchange carries only (key, "
+        "partial) rows — reducer input is bounded by cardinality × "
+        "map tasks, not data size, under any skew. The previous "
+        "explicit (salt, key) two-stage added a second Exchange for "
+        "the same bound (removed r6).",
     ),
     (
         "j8_range_join — broadcast interval join",
