@@ -243,7 +243,16 @@ def _bucket_pair_explode(
     ``(a, b)`` with a < b by id), via ONE collect_list aggregation per
     bucket — the shared core of ``_bucket_pairs`` (which dedups across
     buckets) and ``jaccard_candidates`` (which COUNTS buckets per
-    pair). Buckets wider than ``bucket_cap`` are dropped."""
+    pair). Buckets wider than ``bucket_cap`` are dropped.
+
+    Pair generation is a TWO-LEVEL explode (posexplode the sorted ids,
+    then explode each element's tail slice): the two Generates
+    pipeline in one stage and per-row memory stays O(width), where a
+    single flattened pairs-array per bucket would materialize the
+    whole width²/2 struct array in one row — the exact stall measured
+    (and reverted) when the same shape was tried cap-free for
+    triangle-count wedges. With this form even the cap-free exact
+    tier (``jaccard_candidates`` ``df_cap=None``) streams."""
     if payload_col is None:
         gathered = F.array_sort(F.collect_list(F.col(id_col)))
     else:
@@ -254,17 +263,17 @@ def _bucket_pair_explode(
     width_ok = F.size("_ids") >= 2
     if bucket_cap is not None:
         width_ok = width_ok & (F.size("_ids") <= bucket_cap)
-    ids = F.col("_ids")
-    pairs = F.flatten(
-        F.transform(
-            ids,
-            lambda a, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids) - i - 1),
-                lambda b: F.struct(a.alias("a"), b.alias("b")),
-            ),
-        )
+    tail = F.slice(
+        F.col("_ids"),
+        F.col("_i") + 2,
+        F.greatest(F.size("_ids") - F.col("_i") - 1, F.lit(0)),
     )
-    return grouped.where(width_ok).select(F.explode(pairs).alias("p"))
+    return (
+        grouped.where(width_ok)
+        .select(F.posexplode("_ids").alias("_i", "_a"), "_ids")
+        .select("_a", F.explode(tail).alias("_b"))
+        .select(F.struct(F.col("_a").alias("a"), F.col("_b").alias("b")).alias("p"))
+    )
 
 
 def _bucket_pairs(
