@@ -384,13 +384,18 @@ def a9_grouped_coverage(spark, sf_dir):
 )
 def a10_region_rollup(spark, sf_dir):
     """A10/J1: grouped coverage by region via dimension joins
-    (metrics/reporter.py:445-479); dims are broadcast."""
+    (metrics/reporter.py:445-479). nation/region are fixed-size dims
+    and carry explicit broadcast hints; customer SCALES with the
+    corpus, so its join strategy is left to size-based planning (r6 —
+    the x17 restraint rule: auto-broadcast at demo SF, a shuffled
+    join at a scale where 10⁸ customers would OOM a forced
+    broadcast)."""
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"))
@@ -480,11 +485,15 @@ def a13_uniqueness_violations(spark, sf_dir):
     """,
 )
 def j3_referential_antijoin(spark, sf_dir):
-    """J3: referential-integrity left-anti join against a broadcast
-    dimension (adapters.py:610-640 $in lookups)."""
+    """J3: referential-integrity left-anti join against the customer
+    key set (adapters.py:610-640 $in lookups). r6: the explicit
+    broadcast hint is gone — customer scales with the corpus, so the
+    strategy is left to size-based planning (auto-broadcast at demo
+    SF; at catalog-past-broadcast scale the engine's bloom tier,
+    operators/bloom.py, is the designed pre-filter)."""
     e = t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
     c = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("user_id"))
-    return e.select("user_id").join(F.broadcast(c), "user_id", "left_anti").distinct()
+    return e.select("user_id").join(c, "user_id", "left_anti").distinct()
 
 
 @q(
@@ -7089,8 +7098,11 @@ def streaming_static_join(spark, sf_dir):
     drain's append output equals the batch result row-for-row."""
     schema = t(spark, sf_dir, "events").schema
     stream = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.*")
-    supp = F.broadcast(
-        t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    # r6: no forced broadcast — supplier scales with the corpus; the
+    # size-based threshold broadcasts it at demo SF and a shuffled
+    # stream-static join takes over past broadcast size
+    supp = t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
     )
     out = (
         stream.select("event_id", "user_id", "event_type")
