@@ -319,12 +319,12 @@ def pooled_min_efficiency(current: dict, n: int, m: int, factor: float) -> dict:
 
 def persist_exec(results: dict) -> None:
     """Write this execution's raw per-level runs to the next free
-    BENCH/scaling_r5_execN.json so future invocations (and the manual
+    BENCH/scaling_r6_execN.json so future invocations (and the manual
     pooled analysis in BENCH/BASELINE.md) can pool it."""
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     i = 1
     while os.path.exists(
-        os.path.join(REPO, "BENCH", f"scaling_r5_exec{i}.json")
+        os.path.join(REPO, "BENCH", f"scaling_r6_exec{i}.json")
     ):
         i += 1
     doc = {
@@ -334,7 +334,7 @@ def persist_exec(results: dict) -> None:
         "runs_per_level": RUNS,
         "quiet_gate": QUIET_GATE,
     }
-    path = os.path.join(REPO, "BENCH", f"scaling_r5_exec{i}.json")
+    path = os.path.join(REPO, "BENCH", f"scaling_r6_exec{i}.json")
     with open(path, "w") as f:
         json.dump(doc, f, indent=1)
     print(f"wrote {path}", file=sys.stderr)

@@ -76,16 +76,16 @@ def test_persist_exec_increments_and_round_trips(tmp_path, monkeypatch):
     results = {2: {"times_sec": [1.0]}, 8: {"times_sec": [0.5]}}
     bs.persist_exec(results)
     bs.persist_exec(results)
-    f1 = tmp_path / "BENCH" / "scaling_r5_exec1.json"
-    f2 = tmp_path / "BENCH" / "scaling_r5_exec2.json"
+    f1 = tmp_path / "BENCH" / "scaling_r6_exec1.json"
+    f2 = tmp_path / "BENCH" / "scaling_r6_exec2.json"
     assert f1.exists() and f2.exists()
     doc = json.loads(f1.read_text())
     assert doc["levels"]["2"]["times_sec"] == [1.0]
     # and the persisted file feeds straight back into the pool
     out = bs.pooled_min_efficiency(results, 2, 8, 4.0)
     assert out["pooled_files"] == [
-        "scaling_r5_exec1.json",
-        "scaling_r5_exec2.json",
+        "scaling_r6_exec1.json",
+        "scaling_r6_exec2.json",
     ]
 
 
