@@ -57,10 +57,13 @@ def run_registry(repeats: int, only: list[str] | None = None) -> None:
                 t0 = time.perf_counter()
                 QUERIES[name](spark, SF_DIR).count()
                 runs.append(time.perf_counter() - t0)
-                sc.setJobDescription(None)
             times[name] = round(min(runs), 3)
         except Exception as exc:  # noqa: BLE001 — report, keep sweeping
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+        finally:
+            # always clear, or a failed query's label sticks to every
+            # later query's jobs and corrupts the attribution evidence
+            sc.setJobDescription(None)
         print(
             f"{name:35s} {times.get(name, 'ERR')}",
             file=sys.stderr,

@@ -97,11 +97,16 @@ class ConstraintSuite:
 
     def row_violations(self, docs_p: DataFrame) -> DataFrame:
         """Per-row span-sequence violations, exploded to violation rows."""
-        fn = arrow_udf.span_violations if self.use_arrow_udf else exprs.span_violations
+        if self.use_arrow_udf:
+            viol = arrow_udf.span_violations(F.col("spans"))
+        else:
+            # the memoized canonical fold — rebuilding the ~0.3 s
+            # py4j expression tree per suite run was measured r6
+            viol = exprs.span_violations_canonical()
         items = docs_p.select(
             "partition_id",
             "doc_id",
-            F.explode(fn(F.col("spans"))).alias("v"),
+            F.explode(viol).alias("v"),
         )
         return items.select(
             "partition_id",
@@ -245,6 +250,7 @@ class ConstraintSuite:
         violations: DataFrame,
         with_referential: bool,
         dups: DataFrame | None = None,
+        docs_pre_partitioned: bool = False,
     ) -> DataFrame:
         """Per-(constraint, partition) pass/fail summary.
 
@@ -262,15 +268,16 @@ class ConstraintSuite:
         distinct hash aggregation (which would build per-task hash
         tables of every doc_id and spill at scale).
 
-        ``docs`` may already carry ``partition_id`` (``run()`` passes
-        its ``docs_p``) — re-deriving it is skipped then, saving one
-        analyzed projection per suite run.
+        ``docs_pre_partitioned`` declares that ``docs`` ALREADY carries
+        this suite's content-addressed ``partition_id`` (``run()``
+        passes its own ``docs_p``), skipping one analyzed projection
+        per suite run. It is an explicit flag, not a column sniff: a
+        caller's unrelated ``partition_id`` column (physical ids, a
+        different n_buckets) must NOT be trusted silently — the dups
+        correction and the violations frame key by
+        ``stable_partition_id(n_buckets)`` and would mis-join.
         """
-        docs_p = (
-            docs
-            if "partition_id" in docs.columns
-            else self.with_partition_id(docs)
-        )
+        docs_p = docs if docs_pre_partitioned else self.with_partition_id(docs)
         if dups is not None:
             row_counts = docs_p.groupBy("partition_id").agg(
                 F.count(F.lit(1)).alias("_n_rows")
@@ -359,7 +366,11 @@ class ConstraintSuite:
             out = out.persist()
             persisted.append(out)
         summary = self.summarize(
-            docs_p, out, asset_catalog is not None, dups=dups
+            docs_p,
+            out,
+            asset_catalog is not None,
+            dups=dups,
+            docs_pre_partitioned=True,
         )
         return SuiteResult(
             violations=out, summary=summary, persisted=tuple(persisted)

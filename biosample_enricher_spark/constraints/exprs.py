@@ -143,25 +143,37 @@ def _span_items(s: Column, idx: Column, prev: Column) -> Column:
 
 
 # Building the fold Column below costs ~0.3 s of Python/py4j calls
-# (hundreds of Column-method round-trips). The tree is a pure function
-# of the input column expression, so memoize it — every ConstraintSuite
-# run re-requests the identical ``spans`` tree. Column objects are
-# immutable expression descriptions; reusing one across DataFrames and
-# sessions in the same process is safe (analysis copies the tree).
-_SPAN_VIOLATIONS_CACHE: dict[str, Column] = {}
+# (hundreds of Column-method round-trips); every ConstraintSuite run
+# re-requests the identical tree over the UNRESOLVED F.col("spans"),
+# so that one canonical instance is memoized. Deliberately NOT keyed
+# on str(column): a DataFrame-bound df["spans"] stringifies the same
+# as the unresolved F.col("spans") (verified), so a string-keyed cache
+# could hand a plan-bound tree to an unrelated DataFrame. Unresolved
+# Columns are immutable expression descriptions — reusing the one
+# canonical instance across DataFrames/sessions in a process is safe
+# (analysis copies the tree).
+_CANONICAL_SPAN_VIOLATIONS: Column | None = None
+
+
+def span_violations_canonical() -> Column:
+    """The memoized fold over the unresolved column ``spans`` — the
+    form the constraint suite and streaming validator use."""
+    global _CANONICAL_SPAN_VIOLATIONS
+    if _CANONICAL_SPAN_VIOLATIONS is None:
+        _CANONICAL_SPAN_VIOLATIONS = _build_span_violations(F.col("spans"))
+    return _CANONICAL_SPAN_VIOLATIONS
 
 
 def span_violations(spans: Column) -> Column:
     """``array<struct<constraint_id, field, message>>`` per document,
-    computed by a single left-fold over the spans array (memoized per
-    input-column expression)."""
-    key = str(spans)
-    cached = _SPAN_VIOLATIONS_CACHE.get(key)
-    if cached is not None:
-        return cached
-    col = _build_span_violations(spans)
-    _SPAN_VIOLATIONS_CACHE[key] = col
-    return col
+    computed by a single left-fold over the spans array. Always builds
+    a fresh tree for the caller's column — a cache keyed on the column
+    is unsound because ``str()`` renders a DataFrame-bound
+    ``df["spans"]`` identically to the unresolved ``F.col("spans")``.
+    Hot-path callers (the suite, the streaming validator) use
+    ``span_violations_canonical()`` instead, which memoizes the one
+    unresolved canonical instance."""
+    return _build_span_violations(spans)
 
 
 def _build_span_violations(spans: Column) -> Column:

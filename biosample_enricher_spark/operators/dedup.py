@@ -263,6 +263,17 @@ def _bucket_pair_explode(
     width_ok = F.size("_ids") >= 2
     if bucket_cap is not None:
         width_ok = width_ok & (F.size("_ids") <= bucket_cap)
+    # Honest state bound: the cap filter applies AFTER collect_list, so
+    # a single over-cap bucket is buffered in O(width) aggregation
+    # state before being dropped — ~16-24 bytes/member, i.e. a 10⁶-doc
+    # hot bucket costs ~20 MB of task state, survivable well past the
+    # cap; only a 10⁸-member bucket would threaten memory. A pre-
+    # collect widths semi-join that would bound state at the cap was
+    # MEASURED (r6) to double-evaluate the signature subtree with no
+    # exchange reuse (lsh cands 5 s → 57 s at sf1.0) and was rejected;
+    # identical-doc mega-buckets — the only real source of such widths
+    # — are removed upstream by exact_collapse in every pipeline
+    # composition, which is the documented contract.
     tail = F.slice(
         F.col("_ids"),
         F.col("_i") + 2,
@@ -599,24 +610,29 @@ def dedup_pipeline(
     # both expansion branches of ``clusters``; persisted so the
     # fingerprint pass over the corpus runs once, not once per branch
     members = members.persist()
-    pairs = minhash_near_duplicates(
-        reps, id_col, text_col, threshold, num_hashes, bands, shingle_n,
-        bucket_cap,
-    ).select("id_a", "id_b")
-    # persist BEFORE connected_components: CC is eager (it
-    # localCheckpoints per round), so the LSH banding + Jaccard
-    # verify — the pipeline's most expensive stage — would otherwise
-    # run once for the edge frame and again for every later consumer
-    # of `pairs`. The caller owns the unpersist (see
-    # DedupPipelineResult docstring).
-    pairs.persist()
+    # the try covers EVERYTHING from the persists on (r6 review: an
+    # exception while merely BUILDING the pairs plan — e.g. a missing
+    # column — would otherwise leak the two cache entries above)
+    pairs = None
     try:
+        pairs = minhash_near_duplicates(
+            reps, id_col, text_col, threshold, num_hashes, bands,
+            shingle_n, bucket_cap,
+        ).select("id_a", "id_b")
+        # persist BEFORE connected_components: CC is eager (it
+        # localCheckpoints per round), so the LSH banding + Jaccard
+        # verify — the pipeline's most expensive stage — would
+        # otherwise run once for the edge frame and again for every
+        # later consumer of `pairs`. The caller owns the unpersist
+        # (see DedupPipelineResult docstring).
+        pairs.persist()
         rep_clusters = connected_components(pairs)
     except Exception:
-        # CC is eager — on failure (non-convergence, task loss) the
-        # caller never receives the handle, so free the caches here or
-        # repeated failed invocations accumulate frames
-        pairs.unpersist()
+        # on any failure the caller never receives the handles, so
+        # free the caches here or repeated failed invocations
+        # accumulate frames
+        if pairs is not None:
+            pairs.unpersist()
         members.unpersist()
         raise
     finally:

@@ -39,6 +39,7 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def mg_partition_candidates(
@@ -51,7 +52,15 @@ def mg_partition_candidates(
     tokens per input partition — ZERO shuffle. Tokens may repeat
     across partitions; dedup happens for free wherever the frame is
     consumed (the broadcast hash relation in ``heavy_hitters`` hashes
-    keys uniquely), so no ``.distinct()`` shuffle is spent here."""
+    keys uniquely), so no ``.distinct()`` shuffle is spent here.
+
+    The output schema MIRRORS the input token column's dtype (r6,
+    ADVICE follow-up): the first fix cast the fact side to string at
+    the join, but pandas ``astype(str)`` and Spark's cast render
+    booleans/doubles differently ('True' vs 'true', '1e+20' vs
+    '1.0E20'), silently emptying the candidate match for those dtypes.
+    Keeping the native dtype end-to-end removes every coercion."""
+    dtype = tokens.schema[token_col].dataType
 
     def per_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counts: pd.Series | None = None
@@ -69,9 +78,10 @@ def mg_partition_candidates(
                 counts = counts - cut
                 counts = counts[counts > 0]
         if counts is not None and len(counts):
-            yield pd.DataFrame({"token": counts.index.astype(str)})
+            yield pd.DataFrame({"token": counts.index})
 
-    return tokens.mapInPandas(per_partition, "token string")
+    schema = T.StructType([T.StructField("token", dtype)])
+    return tokens.mapInPandas(per_partition, schema)
 
 
 def heavy_hitters(
@@ -103,25 +113,18 @@ def heavy_hitters(
     toks = tokens.select(F.col(token_col).alias("token")).where(
         F.col("token").isNotNull()
     )
-    # the candidate frame is ALWAYS string-typed (mapInPandas schema);
-    # join on an explicit string cast of the fact key so a non-string
-    # token column never goes through implicit bigint↔string coercion
-    # (doubles past 2^53 lose precision and can corrupt the candidate
-    # filter — ADVICE r5). Output keeps the input column's dtype.
-    cand = mg_partition_candidates(toks, "token", cap).select(
-        F.col("token").alias("_mg_token")
-    )
+    # the candidate frame mirrors the fact column's dtype (see
+    # mg_partition_candidates), so the semi-join compares equal types
+    # natively — no bigint↔string (ADVICE r5) or string-rendering
+    # coercion anywhere, and output keeps the input dtype
+    cand = mg_partition_candidates(toks, "token", cap)
     if broadcast_candidates:
         cand = F.broadcast(cand)
     else:
         cand = cand.distinct()
     n_total = toks.agg(F.count(F.lit(1)).alias("n_total"))
     exact = (
-        toks.join(
-            cand,
-            toks["token"].cast("string") == cand["_mg_token"],
-            "left_semi",
-        )
+        toks.join(cand, "token", "left_semi")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

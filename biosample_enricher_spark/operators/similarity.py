@@ -318,21 +318,25 @@ def embedding_dedup_pipeline(
     # members feeds both expansion branches (returned persisted)
     reps = reps.persist()
     members = members.persist()
-    pairs = pairwise_near_neighbors(
-        reps,
-        threshold=threshold,
-        n_planes=n_planes,
-        n_bands=n_bands,
-        id_col=id_col,
-        vec_col=vec_col,
-        seed=seed,
-        bucket_cap=bucket_cap,
-    ).select("id_a", "id_b")
-    pairs.persist()
+    # try covers everything from the persists on (r6 review: a plan-
+    # build failure would otherwise leak the two cache entries)
+    pairs = None
     try:
+        pairs = pairwise_near_neighbors(
+            reps,
+            threshold=threshold,
+            n_planes=n_planes,
+            n_bands=n_bands,
+            id_col=id_col,
+            vec_col=vec_col,
+            seed=seed,
+            bucket_cap=bucket_cap,
+        ).select("id_a", "id_b")
+        pairs.persist()
         rep_clusters = connected_components(pairs)
     except Exception:
-        pairs.unpersist()
+        if pairs is not None:
+            pairs.unpersist()
         members.unpersist()
         raise
     finally:

@@ -84,17 +84,25 @@ def _prewarm_python_workers(spark: SparkSession) -> None:
     if os.environ.get("SPARK_GRAFT_PREWARM", "1") == "0":
         return
     try:
-        import pandas as pd  # noqa: F401 — fail fast if absent
+        import pandas as pd
         from pyspark.sql import functions as F
 
+        # REAL annotation objects, not strings: pandas_udf resolves the
+        # type hints at decoration time from this local scope — quoted
+        # "pd.Series" annotations raise UNSUPPORTED_SIGNATURE (caught
+        # by a review pass after the first version silently no-op'd)
         @F.pandas_udf("long")
-        def _identity(s: "pd.Series") -> "pd.Series":
+        def _identity(s: pd.Series) -> pd.Series:
             return s
 
         n = spark.sparkContext.defaultParallelism
-        spark.sparkContext.setJobDescription("session: python worker prewarm")
-        spark.range(n, numPartitions=n).select(_identity("id")).count()
-        spark.sparkContext.setJobDescription(None)
+        try:
+            spark.sparkContext.setJobDescription(
+                "session: python worker prewarm"
+            )
+            spark.range(n, numPartitions=n).select(_identity("id")).count()
+        finally:
+            spark.sparkContext.setJobDescription(None)
     except Exception:
         pass
 

@@ -63,7 +63,7 @@ def streaming_violations(
         .select(
             "partition_id",
             "doc_id",
-            F.explode(exprs.span_violations(F.col("spans"))).alias("v"),
+            F.explode(exprs.span_violations_canonical()).alias("v"),
         )
         .select(
             "partition_id",

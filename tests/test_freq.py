@@ -116,3 +116,19 @@ def test_heavy_hitters_bigint_tokens_no_string_coercion_loss(spark):
     got = {r.token: r.cnt for r in heavy_hitters(toks, k=4).collect()}
     assert got == {k1: 30, k2: 30}
     assert heavy_hitters(toks, k=4).schema["token"].dataType.typeName() == "long"
+
+
+def test_heavy_hitters_boolean_and_double_tokens(spark):
+    """r6 review follow-up: dtypes whose Spark string rendering differs
+    from pandas str() (booleans 'true' vs 'True', doubles '1.0E20' vs
+    '1e+20') must still match their MG candidates — the candidate
+    frame now mirrors the input dtype, so no rendering is involved."""
+    rows = [(True,)] * 30 + [(False,)] * 5
+    toks = spark.createDataFrame(rows, "token boolean").repartition(3)
+    got = {r.token: r.cnt for r in heavy_hitters(toks, k=4).collect()}
+    assert got == {True: 30}
+
+    drows = [(1e20,)] * 30 + [(float(i),) for i in range(30)]
+    dtoks = spark.createDataFrame(drows, "token double").repartition(3)
+    dgot = {r.token: r.cnt for r in heavy_hitters(dtoks, k=4).collect()}
+    assert dgot == {1e20: 30}
