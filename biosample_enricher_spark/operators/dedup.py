@@ -882,6 +882,19 @@ def prefix_candidate_pairs(
 
     Returns distinct ``(id_a, id_b)`` with ``id_a < id_b`` — a
     lossless superset of all pairs with Jaccard ≥ num/den."""
+    return _prefix_pair_join(
+        _prefix_frame(index, sizes, num, den), num, den
+    )
+
+
+def _prefix_frame(
+    index: DataFrame, sizes: DataFrame, num: int, den: int
+) -> DataFrame:
+    """The ranked-prefix stage of ``prefix_candidate_pairs``:
+    ``(doc_id, shingle, _rn, n_sh)`` rows for each doc's ppjoin prefix
+    under the global (document-frequency asc, shingle asc) order.
+    Factored out (r6) so ``prefix_filtered_jaccard_from`` can
+    checkpoint it once for both sides of the self-join."""
     docfreq = index.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
     ranked = (
         index.join(docfreq, "shingle")
@@ -899,9 +912,14 @@ def prefix_candidate_pairs(
         - F.floor((F.lit(num) * F.col("n_sh") + F.lit(den - 1)) / F.lit(den))
         + F.lit(1)
     )
-    prefix = ranked.where(F.col("_rn") <= prefix_len).select(
+    return ranked.where(F.col("_rn") <= prefix_len).select(
         "doc_id", "shingle", "_rn", "n_sh"
     )
+
+
+def _prefix_pair_join(prefix: DataFrame, num: int, den: int) -> DataFrame:
+    """The prefix×prefix self-join of ``prefix_candidate_pairs`` with
+    the lossless positional prune, over an already-built prefix frame."""
     pa = prefix.alias("pa")
     pb = prefix.alias("pb")
     ubound = F.least(
@@ -1002,38 +1020,83 @@ def prefix_filtered_jaccard_from(
     sh: DataFrame, num: int, den: int
 ) -> DataFrame:
     """``prefix_filtered_jaccard`` over a pre-built ``(doc_id, sh)``
-    shingled frame. Split out (r6) so callers can PERSIST the shingle
-    projection — the construction consumes it from six subtrees
+    shingled frame.
+
+    r6 shape (guide §5 + §2.3). The construction consumes the shingle
+    projection — the query's CPU hot spot — from five subtrees
     (doc-frequency, rank window, prefix self-join ×2, verify ×2), and
-    without a persist each consumer re-runs the n-gram build, the
-    whole query's CPU hot spot (guide §5: reused + expensive)."""
-    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
-    index = sh.select("doc_id", F.explode("sh").alias("shingle"))
-    cand = prefix_candidate_pairs(index, sizes, num, den)
-    ia = cand.join(
-        index.select(F.col("doc_id").alias("id_a"), "shingle"), "id_a"
-    )
-    inter = (
-        ia.join(
-            index.select(F.col("doc_id").alias("id_b"), "shingle"),
-            ["id_b", "shingle"],
+    because the small side of every internal join broadcasts, none of
+    those subtrees sits behind a reusable Exchange: the un-checkpointed
+    plan re-tokenized the corpus up to 6× (measured: 20 parquet scans
+    in the initial plan at sf0.1). So the frame is ``localCheckpoint``ed
+    once up front — one tokenize pass, every consumer reads the
+    materialized blocks (raw row blocks, NOT the columnar cache whose
+    array encode/decode made a plain ``persist`` of this frame SLOWER —
+    measured 34–57 s vs 20 s at sf0.1).
+
+    The verify stage joins each candidate pair to its two shingle
+    ARRAYS and computes ``|A∩B|`` with one ``array_intersect`` per pair
+    — replacing the exploded index⋈index join + groupBy whose
+    intermediate was Σ|A| over candidate pairs (~35M skinny rows at
+    sf0.1, the old query's dominant shuffle; arrays are distinct by
+    construction so intersection size is the exact overlap count). The
+    size joins disappear too: ``n_a``/``n_b`` read off the attached
+    arrays.
+
+    Returns an EAGER (checkpointed) frame: the result is materialized,
+    then the shingle checkpoint is freed before returning — repeated
+    invocations leak only the (small) result block set, the er2 /
+    connected_components lifecycle."""
+    sh_ck = sh.localCheckpoint(eager=True)
+    prefix_ck = None
+    try:
+        sizes = sh_ck.select("doc_id", F.size("sh").alias("n_sh"))
+        index = sh_ck.select("doc_id", F.explode("sh").alias("shingle"))
+        # checkpoint the ranked prefix too: both sides of the
+        # self-join (and nothing else) read it, and re-deriving it
+        # means re-running the doc-frequency aggregate + two joins +
+        # the rank window per side (broadcast joins leave no reusable
+        # Exchange in between)
+        prefix_ck = _prefix_frame(index, sizes, num, den).localCheckpoint(
+            eager=True
         )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    union_n = F.col("n_a") + F.col("n_b") - F.col("n_inter")
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .where(F.lit(den) * F.col("n_inter") >= F.lit(num) * union_n)
-        .select(
-            "id_a",
-            "id_b",
-            "n_inter",
-            "n_a",
-            "n_b",
-            (F.col("n_inter") / union_n).alias("jaccard"),
+        cand = _prefix_pair_join(prefix_ck, num, den)
+        arr_a = sh_ck.select(
+            F.col("doc_id").alias("id_a"), F.col("sh").alias("_sh_a")
         )
-    )
+        arr_b = sh_ck.select(
+            F.col("doc_id").alias("id_b"), F.col("sh").alias("_sh_b")
+        )
+        scored = (
+            cand.join(arr_a, "id_a")
+            .join(arr_b, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.size(F.array_intersect("_sh_a", "_sh_b"))
+                .cast("long")
+                .alias("n_inter"),
+                F.size("_sh_a").alias("n_a"),
+                F.size("_sh_b").alias("n_b"),
+            )
+        )
+        union_n = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+        out = (
+            scored.where(F.lit(den) * F.col("n_inter") >= F.lit(num) * union_n)
+            .select(
+                "id_a",
+                "id_b",
+                "n_inter",
+                "n_a",
+                "n_b",
+                (F.col("n_inter") / union_n).alias("jaccard"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    except BaseException:
+        free_local_checkpoint(prefix_ck)
+        free_local_checkpoint(sh_ck)
+        raise
+    free_local_checkpoint(prefix_ck)
+    free_local_checkpoint(sh_ck)
+    return out

@@ -3761,11 +3761,11 @@ def dedup_ngram_jaccard(spark, sf_dir):
     from .operators.text import ascii_word_tokens
 
     d = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    # r6 note: persisting the shingled frame for the construction's six
-    # consumers was tried and MEASURED SLOWER (34-57 s vs 20 s at
-    # sf0.1) — 500k deserialized bigram arrays thrash storage memory,
-    # while recomputing the pruned per-consumer projections pipelines
-    # cleanly. Left lazy deliberately.
+    # r6 note: COLUMNAR-persisting the shingled frame was tried and
+    # MEASURED SLOWER (34-57 s vs 20 s at sf0.1) — the array
+    # encode/decode thrashes storage memory. The operator instead
+    # localCheckpoints it (raw row blocks) and verifies candidates by
+    # array_intersect — see prefix_filtered_jaccard_from.
     pairs = D.prefix_filtered_jaccard(
         d,
         "doc_id",
