@@ -68,7 +68,7 @@ def get_spark(
     return spark
 
 
-def _prewarm_python_workers(spark: SparkSession) -> None:
+def _prewarm_python_workers(spark: SparkSession) -> bool:
     """Initialize the reusable Python worker pool at session build.
 
     The first Arrow/pandas-UDF stage of a fresh session otherwise pays
@@ -80,31 +80,50 @@ def _prewarm_python_workers(spark: SparkSession) -> None:
     warm-up job touches no user data (a ``spark.range`` over the
     core count) and caches nothing; disable with
     ``SPARK_GRAFT_PREWARM=0``. Failures are non-fatal — the pool then
-    initializes lazily exactly as before."""
+    initializes lazily exactly as before. Returns True iff the warm-up
+    job actually ran (pinned by tests/test_session_prewarm.py — this
+    job has silently no-op'd twice; never trust it unverified)."""
     if os.environ.get("SPARK_GRAFT_PREWARM", "1") == "0":
-        return
+        return False
     try:
         import pandas as pd
         from pyspark.sql import functions as F
 
-        # REAL annotation objects, not strings: pandas_udf resolves the
-        # type hints at decoration time from this local scope — quoted
-        # "pd.Series" annotations raise UNSUPPORTED_SIGNATURE (caught
-        # by a review pass after the first version silently no-op'd)
-        @F.pandas_udf("long")
-        def _identity(s: pd.Series) -> pd.Series:
+        # Annotations are ASSIGNED as real objects, not written inline:
+        # this module has ``from __future__ import annotations``, so an
+        # inline ``s: pd.Series`` hint is a STRING that pandas_udf
+        # resolves against MODULE globals — where the locally-imported
+        # ``pd`` does not exist — raising at decoration (the silent
+        # no-op's third disguise; the first was a quoted hint, the
+        # second count()'s UDF pruning, see below).
+        def _identity_fn(s):
             return s
+
+        _identity_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        _identity = F.pandas_udf(_identity_fn, returnType="long")
 
         n = spark.sparkContext.defaultParallelism
         try:
             spark.sparkContext.setJobDescription(
                 "session: python worker prewarm"
             )
-            spark.range(n, numPartitions=n).select(_identity("id")).count()
+            # noop sink, NOT count(): count() lets the optimizer prune
+            # the (deterministic) UDF projection entirely — the guide
+            # §1.4 trap — so a count()-based prewarm runs a job that
+            # never touches Python (verified: zero worker executions
+            # under count(), one per task under the noop write)
+            (
+                spark.range(n, numPartitions=n)
+                .select(_identity("id"))
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
         finally:
             spark.sparkContext.setJobDescription(None)
+        return True
     except Exception:
-        pass
+        return False
 
 
 def stop_spark() -> None:
