@@ -1950,11 +1950,23 @@ def dedup_lsh_recall(spark, sf_dir):
     lsh_pairs = D.minhash_near_duplicates(
         d, "doc_id", "text", threshold=0.5, num_hashes=64, bands=32
     ).select("id_a", "id_b")
-    n_true = true_pairs.groupBy().agg(F.count(F.lit(1)).alias("n_true"))
-    n_hit = true_pairs.join(lsh_pairs, ["id_a", "id_b"]).groupBy().agg(
-        F.count(F.lit(1)).alias("n_found")
+    # one pass: n_true and n_found from a single left join + aggregate
+    # (two separate aggregates re-ran the exact inverted-index tier —
+    # the expensive side — twice; lsh_pairs rows are distinct so the
+    # left join cannot multiply true pairs)
+    stats = (
+        true_pairs.join(
+            lsh_pairs.select("id_a", "id_b", F.lit(1).alias("_hit")),
+            ["id_a", "id_b"],
+            "left",
+        )
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.count("_hit").alias("n_found"),
+        )
     )
-    return n_true.crossJoin(n_hit).select(
+    return stats.select(
         "n_true",
         "n_found",
         F.round(
