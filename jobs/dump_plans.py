@@ -86,8 +86,12 @@ SECTIONS = [
         "dedup_ngram_jaccard — lossless prefix-filtered similarity join",
         "All joins are hash-based (no CartesianProduct / nested-loop "
         "pair enumeration): candidates come from the rarest-prefix "
-        "self-join, intersections from two equi-joins on (doc, "
-        "shingle).",
+        "self-join over a checkpointed prefix frame, intersections "
+        "from one array_intersect per candidate pair over the "
+        "checkpointed shingle arrays (r6 second pass; the operator is "
+        "eager, so the registered query's plan is the checkpointed "
+        "result — the internal computation plan is committed at "
+        "plans/r06/dedup_ngram_jaccard_after.txt).",
     ),
     (
         "v1_order_reconciliation — pre-aggregate facts before the join",
@@ -211,15 +215,19 @@ final checkpoint when done (free_local_checkpoint), the documented CC
 lifecycle.
 
 Triangle count: edges oriented toward the higher-(degree, id)
-endpoint before the wedge self-join, so the join fans out as
-Σ outdeg² with outdeg bounded ~O(√m) — a 10⁷-degree hub that would
-emit 10¹⁴ wedges in the naive Σ deg² join contributes almost nothing
-once oriented (its edges all point INTO it; pinned by the 50k-spoke
-hub test completing in seconds). The closing step is one hash
-equi-join on the (lo, hi) edge key. The SQL oracle runs the naive
-a<b<c three-way join — a different algorithm for the same invariant —
-so the external CORRECTNESS row checks the orientation argument
-itself.
+endpoint, bounding out-degree ~O(√m) — a 10⁷-degree hub that would
+emit 10¹⁴ wedges in the naive Σ deg² wedge join contributes almost
+nothing once oriented (its edges all point INTO it; pinned by the
+50k-spoke hub test completing in seconds). The close step runs in
+edge-iterator form (r6 second pass): per oriented edge, one
+array_intersect of the two endpoints' sorted out-neighbor arrays —
+the same membership tests as the former wedge join without
+materializing Σ outdeg² wedge rows (measured ~13× less CPU at
+sf0.1); per-node adjacency state stays LINEAR in outdeg, unlike the
+rejected quadratic pair-array wedge generation. The SQL oracle runs
+the naive a<b<c three-way join — a different algorithm for the same
+invariant — so the external CORRECTNESS row checks the orientation
+argument itself.
 
 """
 
