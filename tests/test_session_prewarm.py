@@ -26,8 +26,8 @@ def _daemon_count() -> int:
     )
 
 
-def test_prewarm_executes_udf_job(spark):
-    assert os.environ.get("SPARK_GRAFT_PREWARM", "1") != "0"
+def test_prewarm_executes_udf_job(spark, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_PREWARM", "1")
     assert _prewarm_python_workers(spark) is True
     # the warm-up spawned (or reused) the worker pool: the daemon that
     # forks per-task workers is alive
