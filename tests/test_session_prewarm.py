@@ -9,7 +9,6 @@ the pandas-UDF job ran, and a daemon process must exist afterwards.
 
 from __future__ import annotations
 
-import os
 import subprocess
 
 from biosample_enricher_spark.session import _prewarm_python_workers
