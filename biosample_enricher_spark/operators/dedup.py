@@ -1023,12 +1023,14 @@ def prefix_filtered_jaccard_from(
     shingled frame.
 
     r6 shape (guide §5 + §2.3). The construction consumes the shingle
-    projection — the query's CPU hot spot — from five subtrees
-    (doc-frequency, rank window, prefix self-join ×2, verify ×2), and
-    because the small side of every internal join broadcasts, none of
-    those subtrees sits behind a reusable Exchange: the un-checkpointed
-    plan re-tokenized the corpus up to 6× (measured: 20 parquet scans
-    in the initial plan at sf0.1). So the frame is ``localCheckpoint``ed
+    checkpoint from five subtrees — sizes, the exploded index (feeding
+    doc-frequency and the rank join inside the prefix build), and the
+    two verify array sides — and the prefix checkpoint from both sides
+    of the candidate self-join. Because the small side of every
+    internal join broadcasts, none of those subtrees sits behind a
+    reusable Exchange: the un-checkpointed plan re-tokenized the
+    corpus up to 6× (measured: 20 parquet scans in the initial plan at
+    sf0.1). So the frame is ``localCheckpoint``ed
     once up front — one tokenize pass, every consumer reads the
     materialized blocks (raw row blocks, NOT the columnar cache whose
     array encode/decode made a plain ``persist`` of this frame SLOWER —

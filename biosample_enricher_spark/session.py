@@ -95,8 +95,14 @@ def _prewarm_python_workers(spark: SparkSession) -> bool:
         # resolves against MODULE globals — where the locally-imported
         # ``pd`` does not exist — raising at decoration (the silent
         # no-op's third disguise; the first was a quoted hint, the
-        # second count()'s UDF pruning, see below).
+        # second count()'s UDF pruning, see below). The accumulator is
+        # the execution proof: True is returned only if the UDF BODY
+        # ran on workers — a job that completes without touching
+        # Python (the count() failure class) cannot fake it.
+        acc = spark.sparkContext.accumulator(0)
+
         def _identity_fn(s):
+            acc.add(len(s))
             return s
 
         _identity_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
@@ -121,7 +127,7 @@ def _prewarm_python_workers(spark: SparkSession) -> bool:
             )
         finally:
             spark.sparkContext.setJobDescription(None)
-        return True
+        return acc.value >= n
     except Exception:
         return False
 

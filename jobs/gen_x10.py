@@ -30,7 +30,9 @@ SHIFTS = {
     "customer": {"c_custkey": 100_000, },
     "part": {"p_partkey": 100_000},
     "supplier": {"s_suppkey": 10_000},
-    "events": {"event_id": 1_000_000, "user_id": 1_000_000},
+    # user_id must shift WITH c_custkey (events.user_id ⊆ customer
+    # keys in the base data) or copies 1-9 orphan every event
+    "events": {"event_id": 1_000_000, "user_id": 100_000},
     "documents": {"doc_id": 1_000_000},
     "embeddings": {"vec_id": 1_000_000},
     "region": None,  # fixed dims, copy once

@@ -52,9 +52,15 @@ def main() -> None:
     noop("docfreq", docfreq)
     cand = D.prefix_candidate_pairs(index, sizes, 3, 5)
     noop("candidates", cand)
-    full = D.prefix_filtered_jaccard_from(sh, 3, 5)
-    noop("full query", full)
-    noop("full query (2nd)", full)
+    # prefix_filtered_jaccard_from is EAGER as of r6 — time the CALL,
+    # not a noop of its (already-materialized) checkpointed result
+    for tag in ("full query", "full query (2nd)"):
+        sc.setJobDescription(tag)
+        t0 = time.perf_counter()
+        full = D.prefix_filtered_jaccard_from(sh, 3, 5)
+        full.write.format("noop").mode("overwrite").save()
+        times[tag] = round(time.perf_counter() - t0, 3)
+        sc.setJobDescription(None)
     print(json.dumps(times))
 
 

@@ -4,7 +4,9 @@ This job has silently no-op'd twice (a quoted type hint raising at
 decoration behind the failure guard, then count() pruning the
 deterministic UDF projection so the job never touched Python). The
 operator contract is behavioral: the warm-up returns True only when
-the pandas-UDF job ran, and a daemon process must exist afterwards.
+the UDF BODY executed on workers (a per-row accumulator inside the
+UDF must reach the row count — a job that completes without touching
+Python cannot fake it), and a daemon process must exist afterwards.
 """
 
 from __future__ import annotations
